@@ -1,0 +1,73 @@
+import numpy as np
+
+from ttsx.eval import (
+    compute_eer, all_pairs_eer, mel_cepstral_distortion,
+    diarization_error_rate, cluster_purity, silhouette_score)
+
+
+def test_eer_separable():
+    scores = np.array([0.9, 0.8, 0.85, 0.1, 0.2, 0.15])
+    labels = np.array([1, 1, 1, 0, 0, 0])
+    assert compute_eer(scores, labels) == 0.0
+
+
+def test_eer_random_is_half():
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=4000)
+    labels = rng.integers(0, 2, size=4000)
+    assert abs(compute_eer(scores, labels) - 0.5) < 0.05
+
+
+def test_eer_degenerate_inf():
+    assert compute_eer(np.array([0.5, 0.6]), np.array([1, 1])) == float("inf")
+
+
+def test_all_pairs_eer_clusters():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(20, 8)) * 0.05 + np.array([1.0] + [0.0] * 7)
+    b = rng.normal(size=(20, 8)) * 0.05 + np.array([0.0, 1.0] + [0.0] * 6)
+    emb = np.concatenate([a, b])
+    ids = np.array([0] * 20 + [1] * 20)
+    assert all_pairs_eer(emb, ids) < 0.05
+
+
+def test_mcd_identity_zero():
+    mel = np.random.default_rng(0).normal(size=(50, 80))
+    assert mel_cepstral_distortion(mel, mel) == 0.0
+    assert mel_cepstral_distortion(mel, mel + 0.1) > 0.0
+
+
+def test_der_perfect():
+    ref = [(0.0, 1.0, "A"), (1.0, 2.0, "B")]
+    assert diarization_error_rate(ref, ref) < 0.01
+
+
+def test_der_swapped_labels_ok():
+    ref = [(0.0, 1.0, "A"), (1.0, 2.0, "B")]
+    hyp = [(0.0, 1.0, "X"), (1.0, 2.0, "Y")]
+    assert diarization_error_rate(ref, hyp) < 0.01
+
+
+def test_der_wrong():
+    ref = [(0.0, 2.0, "A")]
+    hyp = [(0.0, 2.0, "X"), (0.0, 0.0, "Y")]
+    # one speaker covering everything -> perfect after mapping
+    assert diarization_error_rate(ref, hyp) < 0.01
+    hyp2 = []
+    assert diarization_error_rate(ref, hyp2) > 0.9
+
+
+def test_purity():
+    assert cluster_purity(np.array([0, 0, 1, 1]),
+                          np.array([5, 5, 7, 7])) == 1.0
+    assert cluster_purity(np.array([0, 0, 0, 0]),
+                          np.array([5, 5, 7, 7])) == 0.5
+
+
+def test_silhouette():
+    a = np.zeros((10, 2)) + [0, 0]
+    b = np.zeros((10, 2)) + [10, 10]
+    x = np.concatenate([a, b]) + np.random.default_rng(0).normal(
+        size=(20, 2)) * 0.1
+    labels = np.array([0] * 10 + [1] * 10)
+    assert silhouette_score(x, labels) > 0.8

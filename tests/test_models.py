@@ -1,0 +1,196 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttsx.core.config import (
+    AcousticConfig, ProsodyConfig, RefEncConfig, RefinerConfig,
+    VocoderConfig, S4Config)
+from ttsx.models import (
+    AcousticModel, ProsodyPredictor, ReferenceEncoder, ScoreSDERefiner,
+    Generator, MultiPeriodDiscriminator, MultiScaleDiscriminator,
+    MultiBandDiscriminator, STFTLoss, EmotionClassifier, pack_prosody,
+    sde_sample)
+from ttsx.nn.gst import GlobalStyleTokens
+
+K = jax.random.PRNGKey(0)
+B, T = 2, 16
+
+S4_SMALL = S4Config(heads=2, norm_groups=2, dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    ks = jax.random.split(K, 6)
+    return {
+        "text_emb": jax.random.normal(ks[0], (B, T, 32)),
+        "prosody": jax.random.normal(ks[1], (B, T, 18)),
+        "emotion_probs": jax.nn.softmax(jax.random.normal(ks[2], (B, 6))),
+        "mel": jax.random.normal(ks[3], (B, T, 80)),
+        "speaker": jax.random.normal(ks[4], (B, 16)),
+        "style_id": jnp.zeros((B,), jnp.int32),
+        "style": jax.random.normal(ks[5], (B, 32)),
+    }
+
+
+def test_acoustic_forward(batch):
+    cfg = AcousticConfig(text_emb_dim=32, hidden_channels=32,
+                         conformer_layers=1, transformer_dim=64,
+                         num_layers=1, attention_heads=2)
+    m = AcousticModel(cfg)
+    p = m.init(K, batch["text_emb"], batch["prosody"],
+               batch["emotion_probs"], target_mel=batch["mel"],
+               speaker=batch["speaker"])
+    out = m.apply(p, batch["text_emb"], batch["prosody"],
+                  batch["emotion_probs"], target_mel=batch["mel"],
+                  speaker=batch["speaker"])
+    assert out.mel.shape == (B, T, 80)
+    assert out.duration.shape == (B, T)
+    assert (np.asarray(out.duration) >= 0).all()  # softplus
+    assert len(out.fake_logits) == 3 and len(out.real_logits) == 3
+    # without target_mel, real side is empty (model.py:238)
+    out2 = m.apply(p, batch["text_emb"], batch["prosody"],
+                   batch["emotion_probs"], speaker=batch["speaker"])
+    assert out2.real_logits == ()
+
+
+def test_prosody_forward(batch):
+    cfg = ProsodyConfig(cond_dim=32, n_layers=1, s4=S4_SMALL)
+    m = ProsodyPredictor(cfg)
+    p = m.init(K, batch["mel"])
+    out = m.apply(p, batch["mel"])
+    assert out["f0"].shape == (B, T)
+    assert out["speech_rate"].shape == (B, 1)
+    assert out["mfcc"].shape == (B, 13)
+    packed = pack_prosody(out)
+    assert packed.shape == (B, T, 18)
+
+
+def test_prosody_longer_than_nfreq():
+    cfg = ProsodyConfig(cond_dim=32, n_layers=1, n_freq=8, s4=S4_SMALL)
+    m = ProsodyPredictor(cfg)
+    mel = jnp.zeros((1, 24, 80))
+    p = m.init(K, mel)
+    out = m.apply(p, mel)
+    assert out["f0"].shape == (1, 24)
+
+
+@pytest.mark.parametrize("backbone,pooling", [
+    ("ecapa_tdnn", "multi_head_attentive"),
+    ("res2net", "stats"),
+    ("conformer", "self_attentive"),
+    ("ssl_host", "stats"),
+])
+def test_reference_encoder(batch, backbone, pooling):
+    cfg = RefEncConfig(speaker_dim=32, ecapa_channels=32, backbone=backbone,
+                       pooling=pooling, conformer_layers=1, conformer_ff=32)
+    m = ReferenceEncoder(cfg)
+    p = m.init(K, batch["mel"])
+    emb = m.apply(p, batch["mel"])
+    assert emb.shape == (B, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
+                               atol=1e-4)
+
+
+def test_reference_encoder_masked(batch):
+    cfg = RefEncConfig(speaker_dim=32, ecapa_channels=32)
+    m = ReferenceEncoder(cfg)
+    mask = jnp.ones((B, T), bool).at[:, T // 2:].set(False)
+    p = m.init(K, batch["mel"], mask)
+    emb = m.apply(p, batch["mel"], mask)
+    # masked part must not affect the embedding
+    mel2 = batch["mel"].at[:, T // 2:, :].add(100.0)
+    emb2 = m.apply(p, mel2, mask)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2), atol=1e-3)
+
+
+REFINER_SMALL = RefinerConfig(
+    levels=1, cond_dim=32, hidden_channels=32, hsf_hidden=16, style_dim=16,
+    beta_hidden=16,
+    s4=S4Config(heads=2, norm_groups=2, causal=True, dropout=0.0),
+    sde_steps=2)
+
+
+def test_refiner_forward(batch):
+    m = ScoreSDERefiner(REFINER_SMALL)
+    p = m.init(K, batch["mel"], batch["prosody"], batch["style_id"],
+               batch["text_emb"])
+    out = m.apply(p, batch["mel"], batch["prosody"], batch["style_id"],
+                  batch["text_emb"])
+    assert out.mel_ref.shape == (B, T, 80)
+    assert out.t.shape == (B, 1)
+    assert float(out.vq_loss) >= 0
+
+
+def test_refiner_sde_sample(batch):
+    m = ScoreSDERefiner(REFINER_SMALL)
+    p = m.init(K, batch["mel"], batch["prosody"], batch["style_id"],
+               batch["text_emb"])
+    mel = sde_sample(m, p, batch["mel"], batch["prosody"], batch["style_id"],
+                     batch["text_emb"], K, steps=2)
+    assert mel.shape == (B, T, 80)
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+VOC_SMALL = VocoderConfig(hidden_dim=32, cond_dim=16, style_dim=32)
+
+
+def test_generator_upsample_rate(batch):
+    g = Generator(VOC_SMALL)
+    p = g.init(K, batch["mel"], batch["prosody"], batch["style"],
+               batch["emotion_probs"])
+    wav = g.apply(p, batch["mel"], batch["prosody"], batch["style"],
+                  batch["emotion_probs"])
+    up = 1
+    for f in VOC_SMALL.upsample_factors:
+        up *= f
+    assert wav.shape == (B, T * up, 1)  # 256x = hop_length
+    assert np.abs(np.asarray(wav)).max() <= 1.0  # tanh
+
+
+def test_generator_cfg_drops(batch):
+    g = Generator(VOC_SMALL)
+    p = g.init(K, batch["mel"], batch["prosody"], batch["style"],
+               batch["emotion_probs"])
+    w1 = g.apply(p, batch["mel"], batch["prosody"], batch["style"],
+                 batch["emotion_probs"], style_drop=True, emo_drop=True)
+    w2 = g.apply(p, batch["mel"], batch["prosody"],
+                 jnp.zeros_like(batch["style"]),
+                 jnp.zeros_like(batch["emotion_probs"]))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_discriminators(batch):
+    wav = jax.random.normal(K, (B, 1024, 1))
+    for cls, n in [(MultiPeriodDiscriminator, 5),
+                   (MultiScaleDiscriminator, 3),
+                   (MultiBandDiscriminator, 4)]:
+        d = cls(VOC_SMALL)
+        p = d.init(K, wav)
+        logits, feats = d.apply(p, wav)
+        assert len(logits) == n
+        assert all(len(f) > 0 for f in feats)
+
+
+def test_stft_loss_zero_for_identical(batch):
+    wav = jax.random.normal(K, (B, 2048, 1))
+    sl = STFTLoss(VOC_SMALL)
+    p = sl.init(K, wav, wav)
+    assert float(sl.apply(p, wav, wav)) == 0.0
+    assert float(sl.apply(p, wav * 0.5, wav)) > 0.0
+
+
+def test_gst(batch):
+    g = GlobalStyleTokens(80, 32, 10)
+    p = g.init(K, batch["mel"])
+    s = g.apply(p, batch["mel"])
+    assert s.shape == (B, 32)
+
+
+def test_emotion_classifier():
+    m = EmotionClassifier(hidden=16)
+    x = jax.random.normal(K, (B, 23))
+    p = m.init(K, x)
+    probs = m.apply(p, x)
+    assert probs.shape == (B, 6)
+    assert ((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1)).all()

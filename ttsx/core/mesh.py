@@ -1,0 +1,44 @@
+"""Device mesh and sharding helpers.
+
+The TPU-native replacement for the reference's opt-in DDP wrapper
+(train/unified_trainer.py:78-101): a jax.sharding.Mesh over ICI with
+batch-sharded data parallelism; collectives are inserted by XLA under jit.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ttsx.core.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh over the available devices.
+
+    dp == -1 means "all devices not consumed by tp".
+    """
+    cfg = cfg or MeshConfig()
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    tp = max(1, cfg.tp)
+    dp = cfg.dp if cfg.dp > 0 else n // tp
+    if dp * tp != n:
+        raise ValueError(f"mesh dp*tp={dp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=cfg.axis_names[:2])
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over dp; everything else replicated."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of [B, ...] arrays with the batch axis sharded on dp."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,126 @@
+"""Quality metrics: EER, DER, MCD, silhouette — host-side numpy.
+
+Reference: reference_encoder/verify_eer.py:11-42 (EER),
+hyper_diarizer/cli.py:179-188 (DER/purity), acoustic4/Eval_Acoustic.py
+(silhouette + emotion accuracy).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+def compute_eer(scores: np.ndarray, labels: np.ndarray) -> float:
+    """EER from pair scores + binary same-speaker labels
+    ((fpr+fnr)/2 at min |fnr-fpr|, verify_eer.py:30-42).
+    Returns inf on degenerate sets like the reference."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels)
+    if labels.min() == labels.max():
+        return float("inf")
+    order = np.argsort(-scores)
+    labels_sorted = labels[order]
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    tp = np.cumsum(labels_sorted)
+    fp = np.cumsum(1 - labels_sorted)
+    fpr = fp / max(n_neg, 1)
+    fnr = 1.0 - tp / max(n_pos, 1)
+    i = np.argmin(np.abs(fnr - fpr))
+    return float((fpr[i] + fnr[i]) / 2.0)
+
+
+def all_pairs_eer(embeddings: np.ndarray, speaker_ids: np.ndarray) -> float:
+    """All-pairs cosine EER over an embedding set (verify_eer.py:23-32).
+    Vectorized: one gram matrix instead of the reference's O(N^2) python
+    loop."""
+    e = embeddings / np.maximum(
+        np.linalg.norm(embeddings, axis=1, keepdims=True), 1e-8)
+    sim = e @ e.T
+    n = len(e)
+    iu = np.triu_indices(n, k=1)
+    scores = sim[iu]
+    labels = (speaker_ids[iu[0]] == speaker_ids[iu[1]]).astype(np.int64)
+    return compute_eer(scores, labels)
+
+
+def mel_cepstral_distortion(mel_a: np.ndarray, mel_b: np.ndarray) -> float:
+    """MCD (dB) between two log-mel sequences [T, n_mels] (BASELINE.json
+    fidelity metric). Uses the standard 10/ln10 * sqrt(2 sum d^2) form."""
+    t = min(len(mel_a), len(mel_b))
+    d = mel_a[:t] - mel_b[:t]
+    return float(np.mean(
+        (10.0 / np.log(10.0)) * np.sqrt(2.0 * np.sum(d ** 2, axis=1))))
+
+
+def diarization_error_rate(ref_segments: Sequence[Tuple[float, float, str]],
+                           hyp_segments: Sequence[Tuple[float, float, str]],
+                           step: float = 0.01) -> float:
+    """Frame-based DER with optimal greedy speaker mapping
+    (host-side replacement for pyannote's DER, cli.py:179-188)."""
+    if not ref_segments:
+        return 0.0
+    end = max(max(e for _, e, _ in ref_segments),
+              max((e for _, e, _ in hyp_segments), default=0.0))
+    n = int(np.ceil(end / step)) + 1
+    ref_spk = sorted({s for _, _, s in ref_segments})
+    hyp_spk = sorted({s for _, _, s in hyp_segments})
+    ref_grid = np.full(n, -1)
+    hyp_grid = np.full(n, -1)
+    for s, e, spk in ref_segments:
+        ref_grid[int(s / step):int(e / step)] = ref_spk.index(spk)
+    for s, e, spk in hyp_segments:
+        hyp_grid[int(s / step):int(e / step)] = hyp_spk.index(spk)
+    # greedy mapping hyp->ref by overlap
+    mapping = {}
+    counts = np.zeros((len(hyp_spk), len(ref_spk)))
+    for h in range(len(hyp_spk)):
+        for r in range(len(ref_spk)):
+            counts[h, r] = np.sum((hyp_grid == h) & (ref_grid == r))
+    while counts.size and counts.max() > 0:
+        h, r = np.unravel_index(np.argmax(counts), counts.shape)
+        mapping[h] = r
+        counts[h, :] = -1
+        counts[:, r] = -1
+    if hyp_spk:
+        hyp_mapped = np.array([mapping.get(h, -2)
+                               for h in range(len(hyp_spk))])
+        hyp_as_ref = np.where(hyp_grid >= 0, hyp_mapped[hyp_grid], -1)
+    else:
+        hyp_as_ref = np.full(n, -1)
+    speech = ref_grid >= 0
+    errors = np.sum(speech & (hyp_as_ref != ref_grid))
+    miss_or_fa = np.sum(~speech & (hyp_grid >= 0))
+    total = max(np.sum(speech), 1)
+    return float((errors + miss_or_fa) / total)
+
+
+def cluster_purity(assignments: np.ndarray, truth: np.ndarray) -> float:
+    total = len(assignments)
+    if total == 0:
+        return 1.0
+    pure = 0
+    for c in np.unique(assignments):
+        members = truth[assignments == c]
+        if len(members):
+            _, counts = np.unique(members, return_counts=True)
+            pure += counts.max()
+    return float(pure / total)
+
+
+def silhouette_score(x: np.ndarray, labels: np.ndarray) -> float:
+    """Plain-numpy silhouette (Eval_Acoustic.py's sklearn call)."""
+    labels = np.asarray(labels)
+    uniq = np.unique(labels)
+    if len(uniq) < 2 or len(x) < 3:
+        return 0.0
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    s = np.zeros(len(x))
+    for i in range(len(x)):
+        same = labels == labels[i]
+        same[i] = False
+        a = d[i][same].mean() if same.any() else 0.0
+        b = min(d[i][labels == c].mean() for c in uniq if c != labels[i])
+        s[i] = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+    return float(s.mean())

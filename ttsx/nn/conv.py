@@ -1,0 +1,73 @@
+"""1-D convolution helpers in the framework's canonical [B, T, C] layout.
+
+Channels-last is the TPU-native layout (C rides the 128-lane dimension and
+convs lower to MXU matmuls); the reference's torch code is [B, C, T]
+throughout — we transpose the convention once, here, instead of per-call.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class Conv1d(nn.Module):
+    """SAME/CAUSAL/VALID 1-D conv over [B, T, C]."""
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: str = "SAME"  # SAME | CAUSAL | VALID
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.padding
+        if pad == "CAUSAL":
+            left = (self.kernel_size - 1) * self.dilation
+            pad = [(left, 0)]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            padding=pad,
+            use_bias=self.use_bias,
+        )(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """Strided transposed conv over [B, T, C]; upsamples T by `stride`.
+
+    Matches the reference's ConvTranspose1d(k=2*stride, s=stride,
+    p=stride//2) output-length contract: T_out = T * stride
+    (vocoder7/generator.py:36-38, sde_refiner5/model.py:119).
+    """
+    features: int
+    stride: int
+    kernel_size: int | None = None  # default 2*stride
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size or 2 * self.stride
+        y = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(k,),
+            strides=(self.stride,),
+            padding="VALID",
+            use_bias=self.use_bias,
+        )(x)
+        # VALID transpose conv yields T*stride + (k - stride); crop the
+        # torch-equivalent `padding = stride // 2` from both ends.
+        extra = y.shape[1] - x.shape[1] * self.stride
+        lo = extra // 2
+        return y[:, lo:lo + x.shape[1] * self.stride, :]
+
+
+def avg_pool1d(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
+    """[B, T, C] average pool along T (SAME padding)."""
+    return nn.avg_pool(x, window_shape=(window,), strides=(stride,), padding="SAME")

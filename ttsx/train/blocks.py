@@ -1,0 +1,282 @@
+"""Per-stage train blocks: pluggable units the unified engine drives.
+
+Mirrors the reference's TrainBlock interface (train/blocks/base.py:6-42):
+each block owns its model, optimizer(s) and jitted step; the engine calls
+`train_step(state, batch, rng)` and `val_step`. The vocoder block carries
+four optimizers (G + MPD/MSD/MBD) — the JAX GAN dual-opt design SURVEY §7
+flags as a hard part: discriminator and generator params live in separate
+TrainStates and each step is a pure function.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ttsx.core.config import TTSXConfig
+from ttsx.models.acoustic import AcousticModel
+from ttsx.models.refiner import ScoreSDERefiner
+from ttsx.models.vocoder import (
+    Generator, MultiPeriodDiscriminator, MultiScaleDiscriminator,
+    MultiBandDiscriminator, STFTLoss)
+from ttsx.nn.gst import GlobalStyleTokens
+from ttsx.train import losses as L
+from ttsx.train.optim import make_optimizer
+from ttsx.train.state import TrainState
+
+
+class AcousticBlock:
+    """Reference: train/blocks/acoustic.py (with the signature drift fixed)."""
+
+    def __init__(self, cfg: TTSXConfig):
+        self.cfg = cfg
+        self.model = AcousticModel(cfg.acoustic)
+
+    def init_state(self, rng: jax.Array, batch: Dict) -> TrainState:
+        rng, init_rng = jax.random.split(rng)
+        params = self.model.init(
+            {"params": init_rng, "diffusion": init_rng, "dropout": init_rng},
+            batch["text_emb"], batch["prosody"], batch["emotion_probs"],
+            target_mel=batch["mel"], speaker=batch.get("speaker"),
+            deterministic=False)
+        tx = make_optimizer(self.cfg.train.lr, self.cfg.train.warmup_steps,
+                            self.cfg.train.max_steps,
+                            self.cfg.train.weight_decay,
+                            self.cfg.train.grad_clip)
+        return TrainState.create(self.model.apply, params, tx, rng)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        state, rng = state.next_rng()
+        c = self.cfg.acoustic
+
+        def loss_fn(params):
+            out = state.apply_fn(
+                params, batch["text_emb"], batch["prosody"],
+                batch["emotion_probs"], target_mel=batch["mel"],
+                speaker=batch.get("speaker"), deterministic=False,
+                rngs={"diffusion": rng, "dropout": rng})
+            loss, parts = L.composite_acoustic_loss(
+                out, batch["mel"], c.w_mel, c.w_mse, c.w_disc, c.w_diff,
+                c.w_emo, mask=batch.get("frame_mask"))
+            return loss, (parts, out.mel)
+
+        (loss, (parts, mel)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        metrics = {"loss": loss, **parts}
+        return state, {"metrics": metrics, "mel_pred": mel}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def val_step(self, params, batch: Dict) -> Dict:
+        out = self.model.apply(
+            params, batch["text_emb"], batch["prosody"],
+            batch["emotion_probs"], target_mel=batch["mel"],
+            speaker=batch.get("speaker"), deterministic=True)
+        l1 = jnp.mean(jnp.abs(out.mel - batch["mel"]))
+        return {"val_l1": l1, "mel_pred": out.mel}
+
+
+class RefinerBlock:
+    """Reference: train/blocks/refiner.py + sde_refiner5/trainer.py.
+
+    Implements the `novel: sde_noise_annealing` feature: `noise_scale`
+    is a state field the engine anneals from validation L1
+    (train/engine/loop.py:47 update_noise_schedule)."""
+
+    def __init__(self, cfg: TTSXConfig):
+        self.cfg = cfg
+        self.model = ScoreSDERefiner(cfg.refiner)
+
+    def init_state(self, rng: jax.Array, batch: Dict) -> TrainState:
+        rng, init_rng = jax.random.split(rng)
+        params = self.model.init(
+            init_rng, batch["mel"], batch["prosody"], batch["style_id"],
+            batch["text_emb"])
+        tx = make_optimizer(self.cfg.train.lr, self.cfg.train.warmup_steps,
+                            self.cfg.train.max_steps,
+                            self.cfg.train.weight_decay,
+                            self.cfg.train.grad_clip)
+        return TrainState.create(self.model.apply, params, tx, rng)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, batch: Dict,
+                   mel_pred: jnp.ndarray, noise_scale: jnp.ndarray,
+                   l1_weight: jnp.ndarray) -> Tuple[TrainState, Dict]:
+        state, rng = state.next_rng()
+        t_rng, n_rng = jax.random.split(rng)
+        B = mel_pred.shape[0]
+        t = jax.random.uniform(t_rng, (B, 1), mel_pred.dtype)
+        noise = jax.random.normal(n_rng, mel_pred.shape, mel_pred.dtype)
+        # external noise injection (sde_refiner5/model.py:196-198 note)
+        noisy = mel_pred + noise_scale * jnp.sqrt(t)[:, :, None] * noise
+
+        def loss_fn(params):
+            out = state.apply_fn(params, noisy, batch["prosody"],
+                                 batch["style_id"], batch["text_emb"], t=t,
+                                 deterministic=False,
+                                 rngs={"gumbel": rng, "dropout": rng})
+            loss, parts = L.refiner_loss(
+                out.mel_ref, batch["mel"], out.vq_loss,
+                l1_weight=l1_weight, sde_weight=1.0 - l1_weight,
+                score=out.score, noise=-noise * noise_scale)
+            return loss, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads)
+        return state, {"metrics": {"loss": loss, **parts}}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def val_step(self, params, batch: Dict, mel_pred: jnp.ndarray) -> Dict:
+        out = self.model.apply(params, mel_pred, batch["prosody"],
+                               batch["style_id"], batch["text_emb"],
+                               deterministic=True)
+        return {"val_l1": jnp.mean(jnp.abs(out.mel_ref - batch["mel"])),
+                "mel_ref": out.mel_ref}
+
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class VocoderStates:
+    gen: TrainState
+    gst: TrainState
+    mpd: TrainState
+    msd: TrainState
+    mbd: TrainState
+    stft: TrainState  # learnable filterbanks of the STFT loss
+
+
+class VocoderBlock:
+    """Reference: train/blocks/vocoder.py + vocoder7/trainer.py:13-125.
+
+    G+GST vs MPD/MSD/MBD adversarial training with EMA generator and the
+    `novel: dynamic_gan` D:G ratio hook (engine-side)."""
+
+    def __init__(self, cfg: TTSXConfig):
+        self.cfg = cfg
+        vc = cfg.vocoder
+        self.gen = Generator(vc)
+        self.gst = GlobalStyleTokens(vc.channels, vc.style_dim,
+                                     vc.num_style_tokens)
+        self.mpd = MultiPeriodDiscriminator(vc)
+        self.msd = MultiScaleDiscriminator(vc)
+        self.mbd = MultiBandDiscriminator(vc)
+        self.stft_loss = STFTLoss(vc)
+
+    def init_state(self, rng: jax.Array, batch: Dict) -> VocoderStates:
+        vc = self.cfg.vocoder
+        tr = self.cfg.train
+        r = jax.random.split(rng, 7)
+        mel = batch["mel"]
+        wav = batch["wav"]
+        style = jnp.zeros((mel.shape[0], vc.style_dim), mel.dtype)
+        gp = self.gen.init(r[0], mel, batch["prosody"], style,
+                           batch["emotion_probs"])
+        gstp = self.gst.init(r[1], mel)
+        mpdp = self.mpd.init(r[2], wav)
+        msdp = self.msd.init(r[3], wav)
+        mbdp = self.mbd.init(r[4], wav)
+        stftp = self.stft_loss.init(r[5], wav, wav)
+        mk = lambda apply_fn, p, ema=0.0: TrainState.create(
+            apply_fn, p,
+            make_optimizer(tr.lr, tr.warmup_steps, tr.max_steps,
+                           tr.weight_decay, tr.grad_clip),
+            r[6], ema_decay=ema)
+        return VocoderStates(
+            gen=mk(self.gen.apply, gp, ema=vc.ema_decay),
+            gst=mk(self.gst.apply, gstp),
+            mpd=mk(self.mpd.apply, mpdp),
+            msd=mk(self.msd.apply, msdp),
+            mbd=mk(self.mbd.apply, mbdp),
+            stft=mk(self.stft_loss.apply, stftp))
+
+    def _synthesize(self, gen_params, gst_params, batch, rng,
+                    train: bool):
+        """GST style + CFG-dropout synthesis (vocoder7/trainer.py:57-103)."""
+        mel = batch["mel_ref"] if "mel_ref" in batch else batch["mel"]
+        style = self.gst.apply(gst_params, mel)
+        style_drop = emo_drop = False
+        if train and rng is not None:
+            p = self.cfg.vocoder.dropout_prob
+            k1, k2 = jax.random.split(rng)
+            # python-level CFG flags must be static under jit; emulate with
+            # multiplicative masks instead
+            style = style * (jax.random.bernoulli(k1, 1 - p, (style.shape[0], 1))
+                             .astype(style.dtype))
+            emo_mask = (jax.random.bernoulli(k2, 1 - p, (mel.shape[0], 1))
+                        .astype(mel.dtype))
+            emotion = batch["emotion_probs"] * emo_mask
+        else:
+            emotion = batch["emotion_probs"]
+        return self.gen.apply(gen_params, mel, batch["prosody"], style,
+                              emotion)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def disc_step(self, states: VocoderStates, batch: Dict):
+        gen_state, rng = states.gen.next_rng()
+        states = states.replace(gen=gen_state)
+        wav_fake = jax.lax.stop_gradient(self._synthesize(
+            states.gen.params, states.gst.params, batch, rng, train=True))
+        wav_real = batch["wav"]
+
+        def d_loss_fn(mpd_p, msd_p, mbd_p):
+            rl1, _ = self.mpd.apply(mpd_p, wav_real)
+            fl1, _ = self.mpd.apply(mpd_p, wav_fake)
+            rl2, _ = self.msd.apply(msd_p, wav_real)
+            fl2, _ = self.msd.apply(msd_p, wav_fake)
+            rl3, _ = self.mbd.apply(mbd_p, wav_real)
+            fl3, _ = self.mbd.apply(mbd_p, wav_fake)
+            return L.hinge_d_loss(rl1 + rl2 + rl3, fl1 + fl2 + fl3)
+
+        loss, grads = jax.value_and_grad(d_loss_fn, argnums=(0, 1, 2))(
+            states.mpd.params, states.msd.params, states.mbd.params)
+        states = states.replace(
+            mpd=states.mpd.apply_gradients(grads[0]),
+            msd=states.msd.apply_gradients(grads[1]),
+            mbd=states.mbd.apply_gradients(grads[2]))
+        return states, {"d_loss": loss}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def gen_step(self, states: VocoderStates, batch: Dict):
+        gen_state, rng = states.gen.next_rng()
+        states = states.replace(gen=gen_state)
+        wav_real = batch["wav"]
+        vc = self.cfg.vocoder
+        step = states.gen.step.astype(jnp.float32)
+
+        def g_loss_fn(gen_p, gst_p, stft_p):
+            wav_fake = self._synthesize(gen_p, gst_p, batch, rng, train=True)
+            fl1, ff1 = self.mpd.apply(states.mpd.params, wav_fake)
+            _, rf1 = self.mpd.apply(states.mpd.params, wav_real)
+            fl2, ff2 = self.msd.apply(states.msd.params, wav_fake)
+            _, rf2 = self.msd.apply(states.msd.params, wav_real)
+            fl3, ff3 = self.mbd.apply(states.mbd.params, wav_fake)
+            _, rf3 = self.mbd.apply(states.mbd.params, wav_real)
+            adv = L.hinge_g_loss(fl1 + fl2 + fl3)
+            adv = adv * L.adversarial_warmup(step, vc.r1_interval)
+            fm = L.feature_matching_loss(ff1 + ff2 + ff3, rf1 + rf2 + rf3)
+            stft = self.stft_loss.apply(stft_p, wav_fake, wav_real)
+            g = adv + vc.lambda_fm * fm + stft
+            parts = {"adv": adv, "fm": fm, "stft": stft}
+            if "pitch_pred" in batch:
+                p = jnp.mean(jnp.abs(batch["pitch_pred"] - batch["pitch"]))
+                d = jnp.mean(jnp.abs(batch["duration_pred"]
+                                     - batch["duration"]))
+                g = g + vc.lambda_pitch * p + vc.lambda_dur * d
+                parts.update({"pitch": p, "dur": d})
+            return g, parts
+
+        (loss, parts), grads = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            states.gen.params, states.gst.params, states.stft.params)
+        states = states.replace(
+            gen=states.gen.apply_gradients(grads[0]),
+            gst=states.gst.apply_gradients(grads[1]),
+            stft=states.stft.apply_gradients(grads[2]))
+        return states, {"g_loss": loss, **parts}
