@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+from ttsx.core.config import AudioConfig
+from ttsx.data import (
+    TTSDataset, TTSDatasetConfig, PhonemeFrontend, TextEncoder,
+    SpeakerBalancedSampler, load_file_list, read_wav, write_wav,
+    TTSCollator, CollatorConfig, AugmentationPipeline, add_noise,
+    add_reverb, speed_perturb, spec_augment, mixup, bucket_length,
+    synthetic_batch)
+
+AU = AudioConfig(sample_rate=16000, n_fft=512, win_length=512,
+                 hop_length=128, n_mels=40)
+
+
+@pytest.fixture()
+def audio_tree(tmp_path):
+    rng = np.random.default_rng(0)
+    for spk in ("alice", "bob"):
+        for dom, sty in (("news", "calm"), ("story", "excited")):
+            d = tmp_path / spk / dom / sty
+            d.mkdir(parents=True)
+            for i in range(2):
+                wav = rng.normal(size=8000).astype(np.float32) * 0.1
+                write_wav(d / f"utt{i}.wav", wav, 16000)
+                (d / f"utt{i}.txt").write_text(f"hello world {spk} {i}")
+    return tmp_path
+
+
+def test_dataset_discovery(audio_tree):
+    ds = TTSDataset(TTSDatasetConfig(audio_root=str(audio_tree), audio=AU))
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["wav"].dtype == np.float32
+    assert item["text_ids"][0] == PhonemeFrontend.BOS
+    assert item["text_emb"].shape == (384,)
+    assert set(ds.spk2id) == {"alice", "bob"}
+    assert set(ds.dom2id) == {"news", "story"}
+
+
+def test_dataset_speaker_filter(audio_tree):
+    ds = TTSDataset(TTSDatasetConfig(audio_root=str(audio_tree), audio=AU,
+                                     include_speakers=["alice"]))
+    assert len(ds) == 4
+
+
+def test_dataset_max_frames(audio_tree):
+    ds = TTSDataset(TTSDatasetConfig(audio_root=str(audio_tree), audio=AU,
+                                     max_frames=10))
+    assert len(ds[0]["wav"]) <= 10 * AU.hop_length
+
+
+def test_wav_roundtrip(tmp_path):
+    wav = np.sin(np.linspace(0, 100, 4000)).astype(np.float32) * 0.5
+    write_wav(tmp_path / "a.wav", wav, 16000)
+    back, sr = read_wav(tmp_path / "a.wav")
+    assert sr == 16000
+    np.testing.assert_allclose(back, wav, atol=1e-3)
+    resampled, sr2 = read_wav(tmp_path / "a.wav", target_sr=8000)
+    assert sr2 == 8000 and abs(len(resampled) - 2000) < 3
+
+
+def test_frontend_and_text_encoder():
+    fe = PhonemeFrontend()
+    ids = fe("Hello, world!")
+    assert ids[0] == fe.BOS and ids[-1] == fe.EOS
+    te = TextEncoder(64)
+    v1, v2 = te("hello world"), te("hello world")
+    np.testing.assert_allclose(v1, v2)
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-5
+    assert not np.allclose(te("hello world"), te("goodbye moon"))
+
+
+def test_load_file_list(tmp_path):
+    p = tmp_path / "list.txt"
+    p.write_text("a.wav\tspk1\nb.wav\tspk2\n# comment\nc.wav spk3\n")
+    fl = load_file_list(p)
+    assert fl == [("a.wav", "spk1"), ("b.wav", "spk2"), ("c.wav", "spk3")]
+
+
+def test_speaker_balanced_sampler():
+    ids = [0] * 6 + [1] * 6 + [2] * 2  # speaker 2 lacks utterances
+    s = SpeakerBalancedSampler(ids, spk_per_batch=2, utts_per_spk=3, seed=0)
+    batch = next(iter(s))
+    assert len(batch) == 6
+    spk = [0 if i < 6 else 1 for i in batch]
+    assert spk.count(0) == 3 and spk.count(1) == 3
+
+
+def test_augments_shapes():
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=4000).astype(np.float32) * 0.1
+    assert add_noise(wav, rng).shape == wav.shape
+    assert add_reverb(wav, rng).shape == wav.shape
+    sp = speed_perturb(wav, rng)
+    assert abs(len(sp) - len(wav)) > 100  # speed changed the length
+
+
+def test_spec_augment_masks():
+    mel = np.ones((1, 50, 40), np.float32)
+    out = spec_augment(mel, np.random.default_rng(3), freq_mask=10,
+                       time_mask=10)
+    assert (out == 0).any()
+    assert mel.sum() == 50 * 40  # input untouched
+
+
+def test_mixup():
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(4, 10, 8)).astype(np.float32)
+    labels = np.arange(4)
+    mixed, l1, l2, lam = mixup(mel, labels, rng)
+    assert mixed.shape == mel.shape and 0 <= lam <= 1
+
+
+def test_collator_contract(audio_tree):
+    ds = TTSDataset(TTSDatasetConfig(audio_root=str(audio_tree), audio=AU))
+    coll = TTSCollator(CollatorConfig(audio=AU, augment=False,
+                                      bucket_wav=1024, bucket_text=16))
+    batch = coll([ds[i] for i in range(4)])
+    expected = {"wav", "wav_length", "mel", "f0", "energy", "frame_length",
+                "frame_mask", "text_ids", "text_mask", "text_length",
+                "text_emb", "speaker_id", "domain_id", "style_id",
+                "transcripts", "collate_time"}
+    assert expected <= set(batch)
+    assert batch["mel"].shape[0] == 4 and batch["mel"].shape[2] == AU.n_mels
+    assert batch["wav"].shape[1] % 1024 == 0  # bucketed
+    assert batch["frame_mask"].dtype == bool
+    assert batch["collate_time"] > 0
+
+
+def test_collator_cache_and_reproducibility(audio_tree):
+    ds = TTSDataset(TTSDatasetConfig(audio_root=str(audio_tree), audio=AU))
+    coll = TTSCollator(CollatorConfig(audio=AU, augment=True,
+                                      bucket_wav=1024, bucket_text=16,
+                                      cache_features=True, seed=7))
+    b1 = coll([ds[0], ds[1]], epoch=0, batch_idx=0)
+    b2 = coll([ds[0], ds[1]], epoch=0, batch_idx=0)
+    np.testing.assert_allclose(b1["wav"], b2["wav"])  # cache hit

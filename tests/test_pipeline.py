@@ -1,0 +1,268 @@
+"""Observer pipeline tests: stages, diarizer, and one end-to-end job."""
+import json
+import time
+
+import numpy as np
+import pytest
+
+from ttsx.core.config import AudioConfig
+from ttsx.pipeline import (
+    polarity_scores, detect_drift, DriftStage, Tier1Stage, Tier2Stage,
+    AnomalyStage, FingerprintStage, ArcStage, PlotMapStage,
+    DynamicLearningStage, GitSyncStage, ObserverPipeline, ReviewSession,
+    write_json_atomic, read_json, JobQueue, TriggerWatcher, Worker,
+    emotion_utils)
+from ttsx.pipeline.diarizer import (
+    dynamic_slice, time_aware_sim, temporal_cluster, ReIDMemory,
+    DiarizerController)
+from ttsx.data.dataset import write_wav
+
+AU = AudioConfig(sample_rate=16000, n_fft=512, win_length=512,
+                 hop_length=128, n_mels=40)
+
+
+def two_speaker_wav(seconds=8.0, sr=16000):
+    """Alternating 2 s voiced segments: 'speakers' at 120 Hz and 300 Hz
+    with distinct harmonics, separated by 0.5 s silences."""
+    rng = np.random.default_rng(0)
+    out = np.zeros(int(seconds * sr), np.float32)
+    t = 0.0
+    spk = 0
+    truth = []
+    while t + 2.0 <= seconds:
+        n0, n1 = int(t * sr), int((t + 2.0) * sr)
+        tt = np.arange(n1 - n0) / sr
+        f0 = 120.0 if spk == 0 else 300.0
+        sig = sum(np.sin(2 * np.pi * f0 * k * tt) / k for k in (1, 2, 3))
+        env = np.minimum(1, np.minimum(tt, (n1 - n0) / sr - tt) * 20)
+        out[n0:n1] = 0.4 * sig * env + 0.005 * rng.normal(size=n1 - n0)
+        truth.append((t, t + 2.0, f"S{spk}"))
+        t += 2.5
+        spk = 1 - spk
+    return out, truth
+
+
+def test_sentiment_scores():
+    pos = polarity_scores("I love this wonderful amazing day!")
+    neg = polarity_scores("I hate this terrible awful pain")
+    neu = polarity_scores("the table has four legs")
+    assert pos["compound"] > 0.5
+    assert neg["compound"] < -0.5
+    assert neu["neu"] > 0.9
+    assert abs(pos["pos"] + pos["neg"] + pos["neu"] - 1.0) < 0.01
+
+
+def test_sentiment_negation():
+    a = polarity_scores("this is good")
+    b = polarity_scores("this is not good")
+    assert a["compound"] > 0 > b["compound"]
+
+
+def test_emotion_rules():
+    f = emotion_utils.Features(pos=0.7, energy=0.8)
+    assert emotion_utils.classify(f).label == "joy"
+    f = emotion_utils.Features(neg=0.6, energy=1.0)
+    assert emotion_utils.classify(f).label == "anger"
+    f = emotion_utils.Features(neu=1.0)
+    assert emotion_utils.classify(f).label in ("calm", "neutral")
+    assert len(emotion_utils.RULES) == 31
+    assert set(emotion_utils.GROUP_MAP.values()) == {
+        "Positive", "Negative", "Neutral"}
+
+
+def test_detect_drift_events():
+    x = np.zeros(200)
+    x[80:100] = 3.0  # a sustained drift
+    det = detect_drift(x, window=30)
+    assert len(det["events"]) >= 1
+    ev = det["events"][0]
+    assert 70 <= ev["start"] <= 90
+
+
+def test_dynamic_slice_and_cluster():
+    wav, truth = two_speaker_wav()
+    slices, stats = dynamic_slice(wav, AU, min_dur=1.0, max_dur=3.0)
+    assert len(slices) >= 2
+    assert stats["n_slices"] == len(slices)
+    # cluster with toy embeddings built from mean spectral centroid
+    embs = []
+    for s, e in slices:
+        seg = wav[int(s * AU.sample_rate):int(e * AU.sample_rate)]
+        spec = np.abs(np.fft.rfft(seg))
+        freqs = np.fft.rfftfreq(len(seg), 1 / AU.sample_rate)
+        c = (spec * freqs).sum() / spec.sum()
+        embs.append([c / 1000, 1.0])
+    embs = np.asarray(embs)
+    starts = np.asarray([s for s, _ in slices])
+    labels = temporal_cluster(embs, starts, method="kmeans")
+    assert len(labels) == len(slices)
+
+
+def test_reid_memory_match_and_new():
+    m = ReIDMemory(match_threshold=0.6)
+    e1 = np.array([1.0, 0.0, 0.0])
+    mapping, cert = m.re_id({0: e1[None]})
+    spk1 = mapping[0]
+    # same embedding again -> same speaker
+    mapping2, cert2 = m.re_id({0: e1[None]})
+    assert mapping2[0] == spk1
+    assert cert2[0] > 0.9
+    # orthogonal embedding -> new speaker
+    e2 = np.array([0.0, 1.0, 0.0])
+    mapping3, _ = m.re_id({0: e2[None]})
+    assert mapping3[0] != spk1
+
+
+def test_reid_snapshot_roundtrip(tmp_path):
+    m = ReIDMemory()
+    m.update("alice", np.array([1.0, 0.0]))
+    p = str(tmp_path / "mem.pkl")
+    m.snapshot(p)
+    m2 = ReIDMemory()
+    m2.load_snapshot(p)
+    assert "alice" in m2.prototypes
+
+
+@pytest.fixture()
+def tagged_context(tmp_path):
+    """Synthetic per-speaker artifacts to drive the JSON-dataflow stages."""
+    ctx = {"job_id": "job1", "output_dir": str(tmp_path),
+           "speaker_ids": ["spkA"], "step_times": {}}
+    d = tmp_path / "emotion_tags" / "spkA"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    f0 = np.concatenate([np.full(60, 120.0), np.full(60, 180.0)])
+    f0 += rng.normal(size=120)
+    write_json_atomic(d / "prosody_trend.json", {
+        "f0": f0.tolist(), "energy": (np.abs(rng.normal(size=120)) * 0.1
+                                      ).tolist(), "voiced_ratio": 0.9})
+    segments = [
+        {"start": 0.0, "end": 2.0, "text": "I love this wonderful day"},
+        {"start": 2.0, "end": 4.0, "text": "this is terrible I hate it"},
+        {"start": 4.0, "end": 6.0, "text": "the meeting is at noon"},
+        {"start": 6.0, "end": 8.0, "text": "I am so happy and excited!"},
+    ]
+    write_json_atomic(d / "transcript.json", {"segments": segments})
+    return ctx
+
+
+def test_stage_chain(tagged_context, tmp_path):
+    ctx = tagged_context
+    d = tmp_path / "emotion_tags" / "spkA"
+    assert DriftStage()(ctx)["status"] == "ok"
+    assert (d / "drift_vector.json").exists()
+    assert Tier1Stage()(ctx)["status"] == "ok"
+    t1 = read_json(d / "tier1_tags.json")["tags"]
+    assert len(t1) == 4
+    labels = [t["label"] for t in t1]
+    assert labels[0] == "positive" and labels[1] == "negative"
+    assert Tier2Stage()(ctx)["status"] == "ok"
+    t2 = read_json(d / "tier2_tags.json")["tags"]
+    assert all(t["rule_id"].startswith("R") for t in t2)
+    assert all(t["group"] in ("Positive", "Negative", "Neutral")
+               for t in t2)
+    assert AnomalyStage()(ctx)["status"] == "ok"
+    log = read_json(d / "drift_log.json")
+    assert "emotion_entropy" in log and "confidence_slope" in log
+    assert FingerprintStage()(ctx)["status"] == "ok"
+    fp = read_json(d / "fingerprint.json")
+    assert fp["n_tags"] == 4 and fp["dominant_tags"]
+    arc_out = ArcStage()(ctx)
+    assert arc_out["status"] == "ok"
+    arc = read_json(tmp_path / "arc_classification.json")
+    assert "pattern" in arc
+    assert PlotMapStage()(ctx)["status"] == "ok"
+    pm = read_json(tmp_path / "plot_map.json")
+    assert pm["n_beats"] >= 1
+    assert DynamicLearningStage()(ctx)["status"] == "ok"
+    assert (tmp_path / "validation_set.json").exists()
+    assert GitSyncStage()(ctx)["status"] == "ok"
+    manifest = read_json(tmp_path / "job_manifest.json")
+    assert manifest["totals"]["tags"] == 4
+
+
+def test_review_session(tagged_context, tmp_path):
+    ctx = tagged_context
+    DriftStage()(ctx)
+    Tier1Stage()(ctx)
+    Tier2Stage()(ctx)
+    sess = ReviewSession(str(tmp_path))
+    assert sess.speakers() == ["spkA"]
+    sess.correct("spkA", 0.0, "joy", notes="clearly joyful")
+    rules = read_json(tmp_path / "learned_rules.json")
+    assert rules["spkA"]["0.0"]["label"] == "joy"
+    with pytest.raises(ValueError):
+        sess.correct("spkA", 0.0, "not-an-emotion")
+    html = sess.html_report(str(tmp_path / "report.html"))
+    assert "spkA" in html
+
+
+def test_diarizer_end_to_end(tmp_path):
+    wav, truth = two_speaker_wav()
+    wav_path = tmp_path / "meeting.wav"
+    write_wav(wav_path, wav, AU.sample_rate)
+    ctl = DiarizerController(AU, min_dur=1.0, max_dur=3.0)
+    res = ctl.diarize_single(str(wav_path), str(tmp_path / "out"))
+    assert res, "diarization returned empty"
+    out = tmp_path / "out"
+    assert (out / "speaker_mapping.json").exists()
+    assert (out / "similarity_matrix.npy").exists()
+    assert (out / "step_times.json").exists()
+    assert (out / "meeting.rttm").exists()
+    assert (out / "speakers").exists()
+    log = read_json(out / "diarization_log.json")
+    assert log["status"] == "ok"
+    assert log["n_slices"] >= 2
+
+
+def test_diarizer_der_eval(tmp_path):
+    from ttsx.pipeline.diarizer.rebuilder import write_rttm
+    ref = [(0.0, 2.0, "A"), (2.5, 4.5, "B")]
+    write_rttm(tmp_path / "ref.rttm", "job", ref)
+    write_rttm(tmp_path / "hyp.rttm", "job", ref)
+    m = DiarizerController.evaluate(str(tmp_path / "ref.rttm"),
+                                    str(tmp_path / "hyp.rttm"))
+    assert m["der"] < 0.01 and m["purity"] > 0.99
+
+
+def test_trigger_watcher_and_worker(tmp_path):
+    q = JobQueue()
+    done = []
+
+    def process(job):
+        done.append(job["job_id"])
+        return {"status": "ok"}
+
+    watcher = TriggerWatcher(str(tmp_path), q, poll_s=0.05)
+    worker = Worker(q, process)
+    watcher.start()
+    worker.start()
+    (tmp_path / "utt1.wav").write_bytes(b"")
+    (tmp_path / "utt1.wav.ready").write_text("")
+    deadline = time.time() + 5
+    while time.time() < deadline and q.get_status("utt1") != "done":
+        time.sleep(0.05)
+    watcher.stop()
+    worker.stop()
+    assert done == ["utt1"]
+    assert q.get_status("utt1") == "done"
+
+
+def test_observer_pipeline_end_to_end(tmp_path):
+    wav, truth = two_speaker_wav()
+    wav_path = tmp_path / "job.wav"
+    write_wav(wav_path, wav, AU.sample_rate)
+    pipe = ObserverPipeline(au=AU,
+                            diarizer=DiarizerController(AU, min_dur=1.0,
+                                                        max_dur=3.0))
+    summary = pipe.run_job(str(wav_path), str(tmp_path / "out"))
+    assert summary["status"] in ("done", "partial-failure")
+    out = tmp_path / "out"
+    assert (out / "job_summary.json").exists()
+    assert (out / "step_times.json").exists()
+    if summary["speakers"]:
+        spk = summary["speakers"][0]
+        d = out / "emotion_tags" / spk
+        assert (d / "prosody_trend.json").exists()
+        assert (d / "drift_vector.json").exists()
+    assert (out / "observer_report.html").exists()

@@ -1,0 +1,7 @@
+from ttsx.data.dataset import (
+    TTSDataset, TTSDatasetConfig, PhonemeFrontend, TextEncoder,
+    SpeakerBalancedSampler, load_file_list, read_wav, write_wav)
+from ttsx.data.collate import (
+    TTSCollator, CollatorConfig, AugmentationPipeline, add_noise,
+    add_reverb, speed_perturb, spec_augment, mixup, bucket_length)
+from ttsx.data.synthetic import synthetic_batch, synthetic_stream

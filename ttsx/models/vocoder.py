@@ -113,19 +113,32 @@ class Generator(nn.Module):
             c_emo = jnp.zeros_like(c_emo)
         cond = c_pros + c_sty + c_emo  # [B, T, cond_dim]
 
-        # split mel into channel bands, fold bands into batch, run ONE tower
+        # split mel into channel bands and vmap ONE shared tower over the
+        # band axis. The band axis leads; the batch axis is untouched, so
+        # dp-sharded batches incur no resharding collectives.
         bands = mel.reshape(B, T, nb, band_size)            # [B,T,nb,bs]
-        bands = jnp.moveaxis(bands, 2, 0).reshape(nb * B, T, band_size)
-        h = Conv1d(cfg.hidden_dim, 7, name="band_stem")(bands)
+        bands = jnp.moveaxis(bands, 2, 0)                   # [nb,B,T,bs]
 
-        cond_rep = jnp.tile(cond, (nb, 1, 1))
-        h = BandTower(cfg, name="tower")(h, cond_rep)       # [nb*B, T*up, ch]
+        class _Tower(nn.Module):
+            vcfg: VocoderConfig
+
+            @nn.compact
+            def __call__(self, band, cond_in):
+                h = Conv1d(self.vcfg.hidden_dim, 7, name="band_stem")(band)
+                return BandTower(self.vcfg, name="tower")(h, cond_in)
+
+        tower = nn.vmap(
+            _Tower,
+            in_axes=(0, None), out_axes=0,
+            variable_axes={"params": None},   # shared tower params
+            split_rngs={"params": False},
+        )(cfg, name="band_tower")
+        h = tower(bands, cond)                              # [nb,B,T*up,ch]
 
         up = 1
         for f in cfg.upsample_factors:
             up *= f
         ch = h.shape[-1]
-        h = h.reshape(nb, B, T * up, ch)
         h = jnp.moveaxis(h, 0, 2).reshape(B, T * up, nb * ch)
         wav = Conv1d(1, 7, name="band_merge")(h)
         return jnp.tanh(wav)

@@ -1,0 +1,292 @@
+"""Similarity, clustering, and cross-job speaker re-identification.
+
+Re-designs hyper_diarizer/cluster.py (658 LoC):
+  * time_aware_sim (cluster.py:612-648): cosine blended 50/50 with a
+    prob-modulated exp(-dt/2) temporal kernel, min-max normalized.
+  * GreedyModularityClusterer (cluster.py:128-162): networkx-free greedy
+    modularity communities over the sim>threshold graph.
+  * KMeansClusterer (the GNNClusterer's k=ceil(sqrt(n)) KMeans core;
+    the GAT layers are replaced by the embedder's attention
+    contextualization pass).
+  * ReIDMemory (cluster.py:280-610): per-speaker deque memory (10),
+    momentum-0.99 prototypes, z-score anomaly filter (IsolationForest
+    stand-in), cosine match >= 0.6 else new UUID speaker, GMM-free
+    2-means threshold auto-tune, exact matmul top-k matching (the TPU
+    answer to FAISS — SURVEY §2.9), pickle snapshot/load, callbacks.
+"""
+from __future__ import annotations
+
+import pickle
+import uuid
+from collections import deque
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+def time_aware_sim(embs: np.ndarray, starts: np.ndarray,
+                   probs: Optional[np.ndarray] = None,
+                   tau: float = 2.0) -> np.ndarray:
+    e = embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-8)
+    cos = e @ e.T
+    dt = np.abs(starts[:, None] - starts[None, :])
+    temporal = np.exp(-dt / tau)
+    if probs is not None:
+        temporal = temporal * np.sqrt(probs[:, None] * probs[None, :])
+    sim = 0.5 * cos + 0.5 * temporal
+    lo, hi = sim.min(), sim.max()
+    return (sim - lo) / (hi - lo + 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# clusterers
+# ---------------------------------------------------------------------------
+class Clusterer:
+    def cluster(self, sim: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class GreedyModularityClusterer(Clusterer):
+    """Greedy modularity maximization over the sim > threshold graph."""
+
+    def __init__(self, threshold: float = 0.5):
+        self.threshold = threshold
+
+    def cluster(self, sim: np.ndarray) -> np.ndarray:
+        n = len(sim)
+        if n == 0:
+            return np.zeros(0, int)
+        adj = (sim > self.threshold).astype(np.float64)
+        np.fill_diagonal(adj, 0.0)
+        w = adj * sim
+        m2 = w.sum() + 1e-12
+        deg = w.sum(axis=1)
+        labels = np.arange(n)
+        improved = True
+        while improved:
+            improved = False
+            for i in range(n):
+                best_gain, best_c = 0.0, labels[i]
+                for c in np.unique(labels):
+                    if c == labels[i]:
+                        continue
+                    members = labels == c
+                    gain = (w[i, members].sum() / m2
+                            - deg[i] * deg[members].sum() / (m2 * m2))
+                    own = labels == labels[i]
+                    own[i] = False
+                    gain -= (w[i, own].sum() / m2
+                             - deg[i] * deg[own].sum() / (m2 * m2))
+                    if gain > best_gain + 1e-12:
+                        best_gain, best_c = gain, c
+                if best_c != labels[i]:
+                    labels[i] = best_c
+                    improved = True
+        # compact label ids
+        _, out = np.unique(labels, return_inverse=True)
+        return out
+
+
+class KMeansClusterer(Clusterer):
+    """k = ceil(sqrt(n)) k-means on embeddings (GNNClusterer core)."""
+
+    def __init__(self, k: Optional[int] = None, iters: int = 50,
+                 seed: int = 0):
+        self.k = k
+        self.iters = iters
+        self.seed = seed
+
+    def cluster_embeddings(self, embs: np.ndarray) -> np.ndarray:
+        n = len(embs)
+        if n == 0:
+            return np.zeros(0, int)
+        k = self.k or int(np.ceil(np.sqrt(n)))
+        k = min(k, n)
+        rng = np.random.default_rng(self.seed)
+        centers = embs[rng.choice(n, k, replace=False)]
+        assign = np.zeros(n, int)
+        for _ in range(self.iters):
+            d = ((embs[:, None] - centers[None]) ** 2).sum(-1)
+            new_assign = d.argmin(1)
+            if (new_assign == assign).all():
+                break
+            assign = new_assign
+            for i in range(k):
+                if (assign == i).any():
+                    centers[i] = embs[assign == i].mean(0)
+        return assign
+
+    def cluster(self, sim: np.ndarray) -> np.ndarray:
+        # spectral-style: use sim rows as features
+        return self.cluster_embeddings(sim)
+
+
+def temporal_cluster(embs: np.ndarray, starts: np.ndarray,
+                     probs: Optional[np.ndarray] = None,
+                     method: str = "modularity") -> np.ndarray:
+    sim = time_aware_sim(embs, starts, probs)
+    if method == "kmeans":
+        return KMeansClusterer().cluster_embeddings(embs)
+    return GreedyModularityClusterer().cluster(sim)
+
+
+# ---------------------------------------------------------------------------
+# callbacks (cluster.py:50-104)
+# ---------------------------------------------------------------------------
+class ReIDCallback:
+    def on_match(self, slice_idx: int, speaker: str, score: float): ...
+    def on_new_speaker(self, slice_idx: int, speaker: str): ...
+
+
+class PairCollector(ReIDCallback):
+    """Collects (emb, speaker) pairs for contrastive refresh
+    (cluster.py:91-104)."""
+
+    def __init__(self):
+        self.pairs: List[Tuple[int, str, float]] = []
+
+    def on_match(self, slice_idx, speaker, score):
+        self.pairs.append((slice_idx, speaker, score))
+
+
+class WandBCallback(ReIDCallback):
+    """Optional W&B score logging (cluster.py:73-89); no-op without wandb."""
+
+    def __init__(self, project: str = "ttsx-reid"):
+        try:
+            import wandb
+            self.run = wandb.init(project=project, reinit=True)
+        except Exception:
+            self.run = None
+
+    def on_match(self, slice_idx, speaker, score):
+        if self.run is not None:
+            self.run.log({"reid_score": score})
+
+
+# ---------------------------------------------------------------------------
+# re-identification memory
+# ---------------------------------------------------------------------------
+class ReIDMemory:
+    """Cross-job speaker memory with momentum prototypes."""
+
+    def __init__(self, match_threshold: float = 0.6, memory_size: int = 10,
+                 momentum: float = 0.99, anomaly_z: float = 2.5,
+                 auto_tune: bool = True,
+                 callbacks: Optional[Sequence[ReIDCallback]] = None):
+        self.match_threshold = match_threshold
+        self.memory_size = memory_size
+        self.momentum = momentum
+        self.anomaly_z = anomaly_z
+        self.auto_tune = auto_tune
+        self.callbacks = list(callbacks or [])
+        self.memory: Dict[str, deque] = {}
+        self.prototypes: Dict[str, np.ndarray] = {}
+        self._match_scores: List[float] = []
+
+    # -- anomaly filter (IsolationForest stand-in: z-score on norm+cos) ---
+    def _filter_anomalies(self, embs: np.ndarray) -> np.ndarray:
+        if len(embs) < 4:
+            return np.ones(len(embs), bool)
+        center = embs.mean(0)
+        d = np.linalg.norm(embs - center, axis=1)
+        z = (d - d.mean()) / (d.std() + 1e-8)
+        return z < self.anomaly_z
+
+    def _proto_matrix(self):
+        if not self.prototypes:
+            return None, []
+        names = sorted(self.prototypes)
+        mat = np.stack([self.prototypes[n] for n in names])
+        mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-8)
+        return mat, names
+
+    def _tune_threshold(self):
+        """2-means split of match scores (GMM threshold auto-tune,
+        cluster.py:366-375)."""
+        if not self.auto_tune or len(self._match_scores) < 20:
+            return
+        s = np.sort(np.asarray(self._match_scores[-200:]))
+        lo, hi = s.mean() - s.std(), s.mean() + s.std()
+        for _ in range(10):
+            mid = (lo + hi) / 2
+            a = s[s < mid]
+            b = s[s >= mid]
+            if not len(a) or not len(b):
+                break
+            lo, hi = a.mean(), b.mean()
+        self.match_threshold = float(np.clip((lo + hi) / 2, 0.4, 0.85))
+
+    def re_id(self, cluster_embs: Dict[int, np.ndarray],
+              ) -> Tuple[Dict[int, str], Dict[int, float]]:
+        """cluster_id -> mean embedding; returns (mapping, certainties)."""
+        mapping: Dict[int, str] = {}
+        certainty: Dict[int, float] = {}
+        for cid, embs in cluster_embs.items():
+            embs = np.atleast_2d(embs)
+            keep = self._filter_anomalies(embs)
+            emb = embs[keep].mean(0) if keep.any() else embs.mean(0)
+            emb = emb / (np.linalg.norm(emb) + 1e-8)
+
+            mat, names = self._proto_matrix()
+            if mat is not None:
+                scores = mat @ emb  # exact top-k: one matmul (no FAISS)
+                best = int(np.argmax(scores))
+                score = float(scores[best])
+                self._match_scores.append(score)
+                if score >= self.match_threshold:
+                    spk = names[best]
+                    mapping[cid] = spk
+                    certainty[cid] = score
+                    self._update(spk, emb)
+                    for cb in self.callbacks:
+                        cb.on_match(cid, spk, score)
+                    continue
+            spk = f"spk-{uuid.uuid4().hex[:8]}"
+            mapping[cid] = spk
+            certainty[cid] = 1.0 if mat is None else float(
+                1.0 - np.max(mat @ emb))
+            self._new_speaker(spk, emb)
+            for cb in self.callbacks:
+                cb.on_new_speaker(cid, spk)
+        self._tune_threshold()
+        return mapping, certainty
+
+    def _new_speaker(self, spk: str, emb: np.ndarray):
+        self.memory[spk] = deque([emb], maxlen=self.memory_size)
+        self.prototypes[spk] = emb.copy()
+
+    def _update(self, spk: str, emb: np.ndarray):
+        self.memory[spk].append(emb)
+        m = self.momentum
+        proto = m * self.prototypes[spk] + (1 - m) * emb
+        self.prototypes[spk] = proto / (np.linalg.norm(proto) + 1e-8)
+
+    # legacy API (reid.py memory.update)
+    def update(self, spk: str, emb: np.ndarray):
+        emb = emb / (np.linalg.norm(emb) + 1e-8)
+        if spk in self.prototypes:
+            self._update(spk, emb)
+        else:
+            self._new_speaker(spk, emb)
+
+    # -- persistence (cluster.py:568-589) ---------------------------------
+    def snapshot(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump({
+                "memory": {k: list(v) for k, v in self.memory.items()},
+                "prototypes": self.prototypes,
+                "match_threshold": self.match_threshold,
+            }, f)
+
+    def load_snapshot(self, path: str):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        self.memory = {k: deque(v, maxlen=self.memory_size)
+                       for k, v in data["memory"].items()}
+        self.prototypes = data["prototypes"]
+        self.match_threshold = data.get("match_threshold",
+                                        self.match_threshold)

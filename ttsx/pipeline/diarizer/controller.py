@@ -1,0 +1,229 @@
+"""Diarization controller: slice -> embed -> similarity -> cluster ->
+re-id -> overlap -> rebuild, with chunked streaming for long audio.
+
+Re-designs hyper_diarizer/cli.py:58-222 (DiarizerController):
+  * >1 h audio or streaming flag -> 60 s chunks with offset merge
+    (cli.py:82-109),
+  * per-step wall times -> step_times.json (cli.py:111-160),
+  * low mean certainty (<0.7) -> re-slice at 0.8x min_dur feedback loop
+    (cli.py:133-137),
+  * writes speaker_mapping.json, similarity_matrix.npy, certainties.npy,
+    diarization_log.json, slicer_stats.json,
+  * batch mode over multiple files (multiprocessing in the reference;
+    sequential here — the TPU embedder is already batched),
+  * DER/purity eval vs RTTM ground truth (cli.py:179-188) via
+    ttsx.eval.metrics.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ttsx.core.config import AudioConfig
+from ttsx.pipeline.contracts import write_json_atomic
+from ttsx.pipeline.diarizer.slicer import dynamic_slice
+from ttsx.pipeline.diarizer.embedding import SliceEmbedder
+from ttsx.pipeline.diarizer.cluster import (
+    time_aware_sim, temporal_cluster, ReIDMemory)
+from ttsx.pipeline.diarizer.overlap import detect_overlaps
+from ttsx.pipeline.diarizer.rebuilder import reconstruct_audio
+
+
+class DiarizerController:
+    def __init__(self, au: Optional[AudioConfig] = None,
+                 embedder: Optional[SliceEmbedder] = None,
+                 memory: Optional[ReIDMemory] = None,
+                 min_dur: float = 1.5, max_dur: float = 6.0,
+                 chunk_s: float = 60.0, long_audio_s: float = 3600.0,
+                 certainty_floor: float = 0.7,
+                 cluster_method: str = "modularity"):
+        self.au = au or AudioConfig()
+        self.embedder = embedder or SliceEmbedder(self.au)
+        self.memory = memory or ReIDMemory()
+        self.min_dur = min_dur
+        self.max_dur = max_dur
+        self.chunk_s = chunk_s
+        self.long_audio_s = long_audio_s
+        self.certainty_floor = certainty_floor
+        self.cluster_method = cluster_method
+
+    # ------------------------------------------------------------------
+    def diarize_single(self, wav_path: str, out_dir: str,
+                       streaming: bool = False, rebuild: bool = True,
+                       asr=None) -> Dict:
+        from ttsx.data.dataset import read_wav
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        times: Dict[str, float] = {}
+        t0 = time.perf_counter()
+        wav, sr = read_wav(wav_path, self.au.sample_rate)
+        times["load"] = time.perf_counter() - t0
+        job_id = Path(wav_path).stem
+
+        try:
+            duration = len(wav) / sr
+            if streaming or duration > self.long_audio_s:
+                slices, embs, stats = self._chunked(wav)
+            else:
+                slices, embs, stats = self._single(wav, times)
+
+            if not slices:
+                write_json_atomic(out / "diarization_log.json",
+                                  {"job_id": job_id, "n_slices": 0,
+                                   "status": "empty"})
+                return {}
+
+            starts = np.asarray([s for s, _ in slices])
+            t = time.perf_counter()
+            sim = time_aware_sim(embs, starts)
+            times["similarity"] = time.perf_counter() - t
+
+            t = time.perf_counter()
+            labels = temporal_cluster(embs, starts,
+                                      method=self.cluster_method)
+            times["cluster"] = time.perf_counter() - t
+
+            t = time.perf_counter()
+            cluster_embs = {int(c): embs[labels == c]
+                            for c in np.unique(labels)}
+            mapping, certainty = self.memory.re_id(cluster_embs)
+            times["reid"] = time.perf_counter() - t
+
+            # low-certainty re-slice feedback loop (cli.py:133-137)
+            mean_cert = float(np.mean(list(certainty.values())))
+            if mean_cert < self.certainty_floor:
+                t = time.perf_counter()
+                slices, stats = self._reslice(wav, 0.8 * self.min_dur)
+                embs = self.embedder.extract(wav, slices)
+                starts = np.asarray([s for s, _ in slices])
+                sim = time_aware_sim(embs, starts)
+                labels = temporal_cluster(embs, starts,
+                                          method=self.cluster_method)
+                cluster_embs = {int(c): embs[labels == c]
+                                for c in np.unique(labels)}
+                mapping, certainty = self.memory.re_id(cluster_embs)
+                times["reslice"] = time.perf_counter() - t
+
+            t = time.perf_counter()
+            overlaps = detect_overlaps(wav, self.au, slices, labels, embs)
+            times["overlap"] = time.perf_counter() - t
+
+            speakers = [mapping[int(l)] for l in labels]
+            if rebuild:
+                t = time.perf_counter()
+                reconstruct_audio(wav, self.au, out, job_id, slices,
+                                  speakers, overlaps, asr=asr)
+                times["rebuild"] = time.perf_counter() - t
+
+            # artifacts (cli.py contract)
+            np.save(out / "similarity_matrix.npy", sim)
+            np.save(out / "certainties.npy",
+                    np.asarray([certainty[int(l)] for l in labels]))
+            write_json_atomic(out / "speaker_mapping.json",
+                              {str(k): v for k, v in mapping.items()})
+            write_json_atomic(out / "slicer_stats.json", stats)
+            write_json_atomic(out / "step_times.json", times)
+            write_json_atomic(out / "diarization_log.json", {
+                "job_id": job_id,
+                "n_slices": len(slices),
+                "n_speakers": len(set(speakers)),
+                "mean_certainty": mean_cert,
+                "n_overlaps": len(overlaps),
+                "status": "ok",
+            })
+            return {
+                "slices": [list(s) for s in slices],
+                "speakers": speakers,
+                "mapping": mapping,
+                "certainty": certainty,
+                "overlaps": overlaps,
+            }
+        except Exception as e:  # cli.py:168-170 returns {} on error
+            write_json_atomic(out / "diarization_log.json", {
+                "job_id": job_id, "status": "failed",
+                "error": f"{type(e).__name__}: {e}"})
+            return {}
+
+    # ------------------------------------------------------------------
+    def _single(self, wav, times):
+        t = time.perf_counter()
+        slices, stats = dynamic_slice(wav, self.au, self.min_dur,
+                                      self.max_dur)
+        times["slice"] = time.perf_counter() - t
+        t = time.perf_counter()
+        embs = self.embedder.extract(wav, slices)
+        times["embed"] = time.perf_counter() - t
+        return slices, embs, stats
+
+    def _reslice(self, wav, min_dur):
+        return dynamic_slice(wav, self.au, min_dur, self.max_dur)
+
+    def _chunked(self, wav):
+        """60 s chunks with offset merge (cli.py:82-109 process_chunk)."""
+        sr = self.au.sample_rate
+        chunk = int(self.chunk_s * sr)
+        all_slices: List[Tuple[float, float]] = []
+        all_embs: List[np.ndarray] = []
+        stats = {"chunks": 0, "n_slices": 0}
+        for off in range(0, len(wav), chunk):
+            part = wav[off:off + chunk]
+            if len(part) < sr:
+                break
+            slices, st = dynamic_slice(part, self.au, self.min_dur,
+                                       self.max_dur)
+            embs = self.embedder.extract(part, slices)
+            t0 = off / sr
+            all_slices.extend([(s + t0, e + t0) for s, e in slices])
+            all_embs.append(embs)
+            stats["chunks"] += 1
+            stats["n_slices"] += len(slices)
+        embs = (np.concatenate(all_embs)
+                if all_embs else np.zeros((0, 1), np.float32))
+        return all_slices, embs, stats
+
+    # ------------------------------------------------------------------
+    def diarize_batch(self, wav_paths: List[str], out_root: str) -> Dict:
+        results = {}
+        for p in wav_paths:
+            job = Path(p).stem
+            results[job] = self.diarize_single(
+                p, str(Path(out_root) / job))
+        return results
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def evaluate(rttm_ref: str, rttm_hyp: str) -> Dict:
+        """DER + purity vs ground truth (cli.py:179-188)."""
+        from ttsx.eval.metrics import diarization_error_rate, cluster_purity
+
+        def load_rttm(path):
+            segs = []
+            for line in Path(path).read_text().splitlines():
+                f = line.split()
+                if len(f) >= 8 and f[0] == "SPEAKER":
+                    start, dur, spk = float(f[3]), float(f[4]), f[7]
+                    segs.append((start, start + dur, spk))
+            return segs
+
+        ref = load_rttm(rttm_ref)
+        hyp = load_rttm(rttm_hyp)
+        der = diarization_error_rate(ref, hyp)
+        # frame-level purity
+        step = 0.01
+        end = max((e for _, e, _ in ref + hyp), default=0.0)
+        n = int(end / step) + 1
+        r = np.full(n, -1)
+        h = np.full(n, -1)
+        rs = sorted({s for _, _, s in ref})
+        hs = sorted({s for _, _, s in hyp})
+        for s, e, spk in ref:
+            r[int(s / step):int(e / step)] = rs.index(spk)
+        for s, e, spk in hyp:
+            h[int(s / step):int(e / step)] = hs.index(spk)
+        mask = (r >= 0) & (h >= 0)
+        purity = cluster_purity(h[mask], r[mask]) if mask.any() else 0.0
+        return {"der": der, "purity": purity}

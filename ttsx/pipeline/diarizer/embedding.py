@@ -1,0 +1,82 @@
+"""Slice embedding extraction — TPU-batched.
+
+Re-designs hyper_diarizer/embedding.py:63-110: the reference extracts
+ECAPA + Resemblyzer per slice in a ThreadPool, fuses with a learnable
+gate and contextualizes with a 2-layer transformer. Here every slice is
+embedded in ONE batched ReferenceEncoder call (bucketed to a fixed frame
+length — the TPU-native replacement for the thread fan-out), followed by
+a lightweight self-attention contextualization across slices.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ttsx.core.config import AudioConfig, RefEncConfig
+
+
+class SliceEmbedder:
+    def __init__(self, au: AudioConfig | None = None,
+                 cfg: RefEncConfig | None = None, params=None,
+                 max_frames: int = 256, context_layers: int = 2,
+                 seed: int = 0):
+        self.au = au or AudioConfig()
+        self.cfg = cfg or RefEncConfig(speaker_dim=192, ecapa_channels=256)
+        self.max_frames = max_frames
+        self.context_layers = context_layers
+        self._params = params
+        self._model = None
+        self._seed = seed
+
+    def _ensure_model(self, mel_dim: int):
+        if self._model is not None:
+            return
+        import jax
+        from ttsx.models.reference_encoder import ReferenceEncoder
+        self._model = ReferenceEncoder(self.cfg)
+        if self._params is None:
+            # deterministic random init: still a usable (if untrained)
+            # projection for clustering; production loads a checkpoint
+            import jax.numpy as jnp
+            dummy = jnp.zeros((1, self.max_frames, mel_dim))
+            self._params = self._model.init(
+                jax.random.PRNGKey(self._seed), dummy)
+
+    def extract(self, wav: np.ndarray, slices: List[Tuple[float, float]]
+                ) -> np.ndarray:
+        """wav [N], slices [(s, e)...] -> embeddings [n_slices, D]."""
+        import jax
+        import jax.numpy as jnp
+        from ttsx.dsp import mel_spectrogram
+
+        if not slices:
+            return np.zeros((0, self.cfg.speaker_dim), np.float32)
+        sr = self.au.sample_rate
+        hop = self.au.hop_length
+        max_samples = self.max_frames * hop
+
+        # ONE padded batch of slice waveforms -> ONE mel + encoder call
+        batch = np.zeros((len(slices), max_samples), np.float32)
+        mask_len = np.zeros(len(slices), np.int64)
+        for i, (s, e) in enumerate(slices):
+            seg = wav[int(s * sr):int(e * sr)][:max_samples]
+            batch[i, :len(seg)] = seg
+            mask_len[i] = max(len(seg) // hop, 1)
+
+        mel = mel_spectrogram(jnp.asarray(batch), self.au)  # [n, T, n_mels]
+        self._ensure_model(mel.shape[-1])
+        T = mel.shape[1]
+        mask = jnp.asarray(np.arange(T)[None, :] < mask_len[:, None])
+        emb = self._model.apply(self._params, mel, mask)
+        emb = np.asarray(emb, np.float32)
+
+        # cross-slice contextualization (embedding.py transformer step):
+        # softmax(sim/temp) attention over slices, residual, renormalize
+        for _ in range(self.context_layers):
+            sim = emb @ emb.T
+            attn = np.exp(sim / 0.5 - sim.max(axis=1, keepdims=True) / 0.5)
+            attn /= attn.sum(axis=1, keepdims=True)
+            emb = emb + 0.5 * (attn @ emb)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8
+        return emb

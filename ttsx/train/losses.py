@@ -187,7 +187,7 @@ def refiner_loss(mel_ref: jnp.ndarray, mel_target: jnp.ndarray,
     l1 = jnp.mean(jnp.abs(mel_ref - mel_target))
     loss = l1_weight * l1 + vq_loss
     parts = {"l1": l1, "vq": vq_loss}
-    if score is not None and noise is not None and sde_weight > 0:
+    if score is not None and noise is not None:
         sde = jnp.mean((score + noise) ** 2)  # score matching vs injected eps
         parts["sde"] = sde
         loss = loss + sde_weight * sde
