@@ -1,0 +1,64 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ttsx.core.config import AudioConfig
+from ttsx.dsp.stft import mel_spectrogram
+from ttsx.nn.s4 import scan_dw_conv, ssm_kernel, fft_dw_conv
+from ttsx.ops.mel_kernel import mel_frontend_pallas
+from ttsx.ops.s4_kernel import s4_scan_pallas
+
+CFG = AudioConfig(sample_rate=16000, n_fft=256, win_length=256,
+                  hop_length=64, n_mels=32, mel_normalize=False)
+
+
+def test_mel_kernel_matches_reference():
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(2, 4000)).astype(np.float32) * 0.3)
+    ref = mel_spectrogram(wav, CFG)
+    got = mel_frontend_pallas(wav, CFG, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_mel_kernel_normalized():
+    cfg = AudioConfig(sample_rate=16000, n_fft=256, win_length=256,
+                      hop_length=64, n_mels=32, mel_normalize=True)
+    rng = np.random.default_rng(1)
+    wav = jnp.asarray(rng.normal(size=(1, 3000)).astype(np.float32))
+    ref = mel_spectrogram(wav, cfg)
+    got = mel_frontend_pallas(wav, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
+
+
+def test_s4_kernel_matches_scan():
+    rng = jax.random.PRNGKey(0)
+    B, T, H, d, e = 2, 96, 2, 4, 4
+    C = H * e
+    u = jax.random.normal(rng, (B, T, C))
+    a = -jnp.abs(jax.random.normal(rng, (H, d))) * 0.3
+    b = jnp.ones((H, d))
+    c = jax.random.normal(rng, (H, d, e)) * 0.5
+    ref = scan_dw_conv(u, a, b, c)
+    got = s4_scan_pallas(u, a, b, c, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_s4_kernel_matches_fft_conv():
+    rng = jax.random.PRNGKey(1)
+    B, T, H, d, e = 1, 128, 2, 3, 4
+    C = H * e
+    u = jax.random.normal(rng, (B, T, C))
+    a = -jnp.abs(jax.random.normal(rng, (H, d))) * 0.5
+    b = jnp.ones((H, d))
+    c = jax.random.normal(rng, (H, d, e)) * 0.3
+    w = ssm_kernel(a, b, c, T)
+    ref = fft_dw_conv(u, w, causal=True)
+    got = s4_scan_pallas(u, a, b, c, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)

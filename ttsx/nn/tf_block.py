@@ -19,12 +19,12 @@ class TFBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        # time attention: tokens = time steps, dim = channels
+        # dual attention over [B, T, C]: the reference's t_attn and f_attn
+        # both consume the same [B, T, C] permutation (tf_block.py:24-30),
+        # so "feature attention" is a second time-attention head bank —
+        # kept that way so params stay independent of sequence length.
         t_out = MHSA(self.heads)(x, deterministic=deterministic)
-        # feature attention: tokens = channels, dim = time — transpose
-        f_in = jnp.swapaxes(x, 1, 2)  # [B, C, T]
-        f_out = MHSA(self.heads)(f_in, deterministic=deterministic)
-        f_out = jnp.swapaxes(f_out, 1, 2)
+        f_out = MHSA(self.heads)(x, deterministic=deterministic)
         h = t_out + f_out
         y = nn.LayerNorm()(h)
         y = nn.Dense(self.dim_ff)(y)
