@@ -225,6 +225,12 @@ class VocoderBlock:
             states.gen.params, states.gst.params, batch, rng, train=True))
         wav_real = batch["wav"]
 
+        vc = self.cfg.vocoder
+        # R1 gradient penalty on real wavs every r1_interval steps
+        # (vocoder7/config.py r1_gamma/r1_interval; the reference leaves
+        # the trainer hook unimplemented — losses.py docstring)
+        apply_r1 = (states.mpd.step % vc.r1_interval) == 0
+
         def d_loss_fn(mpd_p, msd_p, mbd_p):
             rl1, _ = self.mpd.apply(mpd_p, wav_real)
             fl1, _ = self.mpd.apply(mpd_p, wav_fake)
@@ -232,7 +238,16 @@ class VocoderBlock:
             fl2, _ = self.msd.apply(msd_p, wav_fake)
             rl3, _ = self.mbd.apply(mbd_p, wav_real)
             fl3, _ = self.mbd.apply(mbd_p, wav_fake)
-            return L.hinge_d_loss(rl1 + rl2 + rl3, fl1 + fl2 + fl3)
+            d = L.hinge_d_loss(rl1 + rl2 + rl3, fl1 + fl2 + fl3)
+
+            def real_score(w):
+                l1, _ = self.mpd.apply(mpd_p, w)
+                l2, _ = self.msd.apply(msd_p, w)
+                return sum(jnp.sum(l) for l in l1 + l2)
+
+            r1 = jnp.mean(jnp.sum(
+                jax.grad(real_score)(wav_real) ** 2, axis=(1, 2)))
+            return d + jnp.where(apply_r1, 0.5 * vc.r1_gamma * r1, 0.0)
 
         loss, grads = jax.value_and_grad(d_loss_fn, argnums=(0, 1, 2))(
             states.mpd.params, states.msd.params, states.mbd.params)

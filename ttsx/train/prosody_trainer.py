@@ -1,0 +1,83 @@
+"""Stage-2 prosody-predictor trainer.
+
+Trains ProsodyPredictor on (mel -> prosody targets) with the weighted
+SmoothL1 ProsodyLoss (prosody3/prosody_loss.py) and optional mixup batches
+(prosody3/Dataset.py beta-mixup variant). Targets come from the DSP
+frontend (f0/energy) — the reference's missing `utils` extraction chain.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ttsx.core.config import ProsodyConfig
+from ttsx.models.prosody import ProsodyPredictor
+from ttsx.train import losses as L
+from ttsx.train.optim import make_optimizer
+from ttsx.train.state import TrainState
+
+
+class ProsodyTrainer:
+    def __init__(self, cfg: ProsodyConfig, lr: float = 2e-4,
+                 warmup: int = 1000, total: int = 100_000):
+        self.cfg = cfg
+        self.model = ProsodyPredictor(cfg)
+        self._opt = (lr, warmup, total)
+
+    def init_state(self, rng: jax.Array, mel: jnp.ndarray) -> TrainState:
+        rng, init_rng = jax.random.split(rng)
+        params = self.model.init(init_rng, mel)
+        lr, warmup, total = self._opt
+        tx = make_optimizer(lr, warmup, total)
+        return TrainState.create(self.model.apply, params, tx, rng)
+
+    def _weights(self) -> Dict[str, float]:
+        c = self.cfg
+        return {"f0": c.f0_weight, "energy": c.energy_weight,
+                "pitch_var": c.pitch_var_weight,
+                "speech_rate": c.speech_rate_weight,
+                "pause_dur": c.pause_dur_weight, "mfcc": c.mfcc_weight}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, mel: jnp.ndarray,
+                   targets: Dict[str, jnp.ndarray],
+                   mask: Optional[jnp.ndarray] = None):
+        def loss_fn(params):
+            pred = state.apply_fn(params, mel, mask)
+            return L.prosody_loss(pred, targets, self._weights(), mask)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def val_step(self, params, mel, targets, mask=None):
+        pred = self.model.apply(params, mel, mask)
+        return L.prosody_loss(pred, targets, self._weights(), mask)
+
+    @staticmethod
+    def targets_from_wav(wav: jnp.ndarray, cfg: ProsodyConfig,
+                         frames: int) -> Dict[str, jnp.ndarray]:
+        """DSP-derived training targets aligned to `frames` mel frames."""
+        from ttsx.dsp import extract_f0_energy, mfcc as mfcc_fn
+        f0, energy, voiced = extract_f0_energy(wav, cfg.audio)
+        f0 = f0[:, :frames]
+        energy = energy[:, :frames]
+        voiced = voiced[:, :frames]
+        # normalized targets (z-scored f0 over voiced frames)
+        vm = voiced.astype(jnp.float32)
+        denom = jnp.maximum(vm.sum(axis=1, keepdims=True), 1.0)
+        mean = (f0 * vm).sum(axis=1, keepdims=True) / denom
+        var = ((f0 - mean) ** 2 * vm).sum(axis=1, keepdims=True) / denom
+        f0_z = jnp.where(voiced, (f0 - mean) / jnp.sqrt(var + 1e-6), 0.0)
+        pitch_var = jnp.broadcast_to(jnp.sqrt(var + 1e-6) / 100.0, f0.shape)
+        # speech rate ~ voiced transitions / second; pause ~ unvoiced ratio
+        trans = jnp.abs(jnp.diff(vm, axis=1)).sum(axis=1, keepdims=True)
+        secs = frames * cfg.audio.hop_length / cfg.audio.sample_rate
+        speech_rate = trans / (2.0 * secs)
+        pause_dur = 1.0 - vm.mean(axis=1, keepdims=True)
+        m = mfcc_fn(wav, cfg.audio, cfg.n_mfcc)[:, :frames].mean(axis=1)
+        return {"f0": f0_z, "energy": energy, "pitch_var": pitch_var,
+                "speech_rate": speech_rate, "pause_dur": pause_dur,
+                "mfcc": m}
