@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ttsx_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: deliberately NO persistent compilation cache here — on the axon
+# remote-TPU backend, executables loaded from the cache stall for minutes
+# on their first execution, while fresh per-stage compiles take seconds.
 
 BASELINE_RTF = 0.02  # BASELINE.json north-star: RTF <= 0.02/chip @ 10 s
 

@@ -57,11 +57,18 @@ class TTSPipeline:
         mel = jnp.zeros((batch, frames, 80))
         sid = jnp.zeros((batch,), jnp.int32)
         style = jnp.zeros((batch, cfg.vocoder.style_dim))
+        # each init is jitted: ONE compiled program per module instead of
+        # hundreds of eager op dispatches (critical on remote-TPU backends
+        # where every eager op pays a compile+dispatch round trip)
         return {
-            "acoustic": self.acoustic.init(r1, text, pros, emo, speaker=spk),
-            "refiner": self.refiner.init(r2, mel, pros, sid, text),
-            "gst": self.gst.init(r3, mel),
-            "generator": self.generator.init(r4, mel, pros, style, emo),
+            "acoustic": jax.jit(
+                lambda r: self.acoustic.init(r, text, pros, emo,
+                                             speaker=spk))(r1),
+            "refiner": jax.jit(
+                lambda r: self.refiner.init(r, mel, pros, sid, text))(r2),
+            "gst": jax.jit(lambda r: self.gst.init(r, mel))(r3),
+            "generator": jax.jit(
+                lambda r: self.generator.init(r, mel, pros, style, emo))(r4),
         }
 
     def synthesize(self, params, text_emb, prosody, emotion_probs, speaker,
