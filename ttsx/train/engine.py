@@ -79,7 +79,8 @@ class UnifiedTrainer:
                  val_iter: Optional[Iterable[Dict]] = None,
                  callbacks: Optional[List[Callback]] = None,
                  blocks: Iterable[str] = ("acoustic", "refiner", "vocoder"),
-                 checkpoint_dir: Optional[str] = None):
+                 checkpoint_dir: Optional[str] = None,
+                 mesh=None):
         self.cfg = cfg
         self.train_iter = iter(train_iter)
         self.val_iter = val_iter
@@ -89,7 +90,21 @@ class UnifiedTrainer:
             name: BlockRegistry.create(name, cfg) for name in blocks}
         self.block_states: Dict[str, Any] = {}
         self.checkpoint_dir = checkpoint_dir
+        # optional dp mesh: batches sharded on 'dp', states replicated —
+        # the engine-level DDP analog (train/unified_trainer.py:78-101)
+        self.mesh = mesh
         self._rng = jax.random.PRNGKey(cfg.train.seed)
+
+    def _place(self, batch: Dict) -> Dict:
+        if self.mesh is None:
+            return batch
+        from ttsx.parallel import shard_batch_dp
+        placed = shard_batch_dp(
+            {k: v for k, v in batch.items() if hasattr(v, "shape")},
+            self.mesh)
+        out = dict(batch)
+        out.update(placed)
+        return out
 
     # -- setup ------------------------------------------------------------
     def init_states(self, batch: Dict):
@@ -101,6 +116,7 @@ class UnifiedTrainer:
     def train_step(self, batch: Dict) -> Dict:
         t0 = time.perf_counter()
         cfg = self.cfg.train
+        batch = self._place(batch)
         metrics: Dict[str, float] = {}
         mel_pred = batch["mel"]
 
