@@ -109,10 +109,14 @@ def contradiction_score(text: str) -> float:
 class Tier2Stage(Stage):
     name = "tier2"
 
-    def __init__(self, embed_fn=None):
+    def __init__(self, embed_fn=None, emotion_fn=None):
         # embed_fn(wav_slice | text) -> np.ndarray speaker embedding, used
         # for the running-mean cosine ESR score; None -> ESR neutral 0.5
         self.embed_fn = embed_fn
+        # emotion_fn(vader[4], prosody_vec[19]) -> probs[6]: the trained
+        # EmotionClassifier + EmotionWeightLearner blend (prosody3/
+        # assign_emotion_tags.py); None -> rule table only
+        self.emotion_fn = emotion_fn
 
     def run(self, context: Dict) -> Dict:
         results = {}
@@ -140,6 +144,15 @@ class Tier2Stage(Stage):
                     pitch=z, energy=z, speech_rate=0.0, pause=0.0,
                     keywords=frozenset(tag["text"].lower().split()))
                 rule = EU.classify(feats)
+                model_label = None
+                if self.emotion_fn is not None:
+                    vader = np.asarray([scores["pos"], scores["neg"],
+                                        scores["neu"], scores["compound"]])
+                    pvec = np.concatenate([[z] * 6,
+                                           np.zeros(13)])[:19]
+                    probs = np.asarray(self.emotion_fn(vader, pvec))
+                    from ttsx.models.prosody import EMOTIONS
+                    model_label = EMOTIONS[int(np.argmax(probs))]
 
                 # ESR: cosine of slice embedding vs running mean
                 esr = 0.5
@@ -158,7 +171,7 @@ class Tier2Stage(Stage):
                 conf = conf * (1.0 - 0.3 * contra)
                 conf = min(1.0, conf + 0.1 * drift_conf
                            + 0.1 * abs(scores["compound"]))
-                out.append({
+                entry = {
                     "start": tag["start"], "end": tag["end"],
                     "text": tag["text"],
                     "label": rule.label,
@@ -167,7 +180,10 @@ class Tier2Stage(Stage):
                     "confidence": round(float(conf), 3),
                     "esr_score": round(float(esr), 3),
                     "status": _status(conf, EU.T2_AUTO, EU.T2_MIN),
-                })
+                }
+                if model_label is not None:
+                    entry["model_label"] = model_label
+                out.append(entry)
             # high variance forces review (tier2.py std>0.30)
             if out:
                 confs = np.asarray([t["confidence"] for t in out])
