@@ -146,9 +146,10 @@ class TTSCollator:
         self._lock = threading.Lock()
         if mel_fn is None or f0_fn is None:
             import jax.numpy as jnp
-            from ttsx.dsp import mel_spectrogram, extract_f0_energy
+            from ttsx.dsp import extract_f0_energy
+            from ttsx.ops.mel_kernel import mel_frontend  # pallas on TPU
             mel_fn = mel_fn or (lambda w: np.asarray(
-                mel_spectrogram(jnp.asarray(w), cfg.audio)))
+                mel_frontend(jnp.asarray(w), cfg.audio)))
             f0_fn = f0_fn or (lambda w: tuple(
                 np.asarray(x)
                 for x in extract_f0_energy(jnp.asarray(w), cfg.audio)))

@@ -1,20 +1,29 @@
-"""Pallas chunked-recurrence kernel for the diagonal S4 SSM.
+"""Pallas chunked-scan kernel for the diagonal S4 SSM.
 
 North-star kernel from BASELINE.json ("prosody3's S4 state-space layers run
 as an associative-scan kernel"). The jnp associative-scan path
-(ttsx/nn/s4.py scan_dw_conv) materializes [B, T, C, d] states in HBM;
-this kernel walks time in chunks carrying the [C, d] state in VMEM — the
-state never touches HBM, and per chunk it does d small VPU FMAs plus one
-[chunk, d] x [d, e] MXU readout per head.
+(ttsx/nn/s4.py scan_dw_conv) materializes [B, T, C, d] states in HBM; this
+kernel carries the state in VMEM across a sequential grid over time chunks
+— states never touch HBM.
 
-    s_t = exp(a) * s_{t-1} + b * u_t          (diagonal recurrence, VPU)
-    y_t[(h,e)] = sum_d c[h,d,e] * s_t[d]      (readout matmul, MXU)
+Within a chunk of length L the recurrence is evaluated in closed form as
+MXU matmuls (TPU Pallas has no dynamic row stores, and per-step scalar
+loops would starve the MXU). With s0 the carry-in state and
+E[t] = exp(a)^t per mode:
 
-Grid: (B,) — one program per batch element; the time loop is a
-jax.lax.fori_loop over chunks inside the kernel.
+  y[t, (h,e)] = sum_d C[h,d,e] * ( E[t+1] * s0[(h,e), d]           (carry)
+              + sum_{s<=t} E[t-s] * b * u[s, (h,e)] )              (local)
 
-Public entry `s4_scan(...)` matches scan_dw_conv's contract and falls back
-to it off-TPU; `interpret=True` runs the kernel on CPU for tests.
+  local per mode d:   inner_d = Tri_d @ u_h        [L,L]x[L,e] MXU matmul
+  carry per mode d:   outer(epow, s0_d)            VPU
+  next state:         s_L = E[L]*s0 + Tri_d[L-1] @ u_h
+
+Grid: (B, n_chunks, H) — TPU grid steps run sequentially, so the VMEM
+scratch state persists across chunks; it is zeroed at each batch row's
+first chunk. Mode Toeplitz blocks are tiled per head to stay in VMEM.
+
+`s4_scan(...)` falls back to the jnp associative scan off-TPU;
+`interpret=True` runs the same kernel on CPU for the parity tests.
 """
 from __future__ import annotations
 
@@ -22,80 +31,110 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 128
 
 
-def _s4_kernel(u_ref, decay_ref, b_ref, c_ref, y_ref, state_ref):
-    """u: [T, C]; decay/b: [H, d]; c: [H, d, e]; y: [T, C]; state: [C, d].
+def _s4_head_kernel(u_ref, tri_ref, epow_ref, c_ref, y_ref, state_ref):
+    """One (batch, chunk, head) grid step.
 
-    C = H*e input/output channels; each channel (h, e) carries its own
-    d-dim mode state driven by u[:, (h, e)].
+    u_ref:    [1, CHUNK, e]     this head's input block
+    tri_ref:  [1, d, CHUNK, CHUNK]  lower-tri decay Toeplitz per mode
+    epow_ref: [1, CHUNK + 1, d] E[t+1] rows; row CHUNK holds E[CHUNK]
+    c_ref:    [1, d, e]         readout for this head
+    y_ref:    [1, CHUNK, e]     output block
+    state_ref:[H, e, d]         carried state for every head (scratch)
     """
-    T, C = u_ref.shape
-    H, d = decay_ref.shape
-    e = C // H
+    chunk_idx = pl.program_id(1)
+    head = pl.program_id(2)
+    L = u_ref.shape[2]
+    d = c_ref.shape[1]
 
-    state_ref[:] = jnp.zeros_like(state_ref)
-    decay = decay_ref[:]                       # [H, d]
-    b = b_ref[:]                               # [H, d]
-    # per-channel views: [C, d]
-    decay_c = jnp.repeat(decay, e, axis=0)
-    b_c = jnp.repeat(b, e, axis=0)
+    @pl.when(chunk_idx == 0)
+    def _():
+        state_ref[head] = jnp.zeros_like(state_ref[head])
 
-    n_chunks = T // CHUNK
+    u = u_ref[0, 0]                                # [L, e]
+    s0 = state_ref[head]                           # [e, d]
 
-    def chunk_body(ci, _):
-        u = u_ref[pl.ds(ci * CHUNK, CHUNK), :]         # [CHUNK, C]
+    acc = jnp.zeros(u.shape, jnp.float32)
+    state_cols = []
+    for di in range(d):
+        tri = tri_ref[0, di]                       # [L, L]
+        inner = jnp.dot(tri, u, preferred_element_type=jnp.float32)
+        carry = epow_ref[0, :L, di][:, None] * s0[:, di][None, :]
+        acc = acc + (inner + carry) * c_ref[0, di, :][None, :]
+        # keep the dot 2Dx2D — 1D operands hit a TPU dot-dims lowering bug
+        s_new = (epow_ref[0, L, di] * s0[:, di]
+                 + jnp.dot(tri[L - 1:L, :], u,
+                           preferred_element_type=jnp.float32)[0])
+        # collected and stacked once: .at[:, di].set lowers to an
+        # unsupported scatter inside TPU kernels
+        state_cols.append(s_new)
 
-        def step(t, carry):
-            s = carry                                   # [C, d]
-            s = decay_c * s + b_c * u[t][:, None]
-            # readout: y[c] = sum_d c_full[h(c), d, e(c)] * s[c, d]
-            # reshape channel axis into (H, e) and einsum per head
-            s_h = s.reshape(H, e, d)
-            y_t = jnp.einsum("hed,hde->he", s_h, c_ref[:],
-                             preferred_element_type=jnp.float32)
-            y_ref[ci * CHUNK + t, :] = y_t.reshape(C)
-            return s
-
-        s_final = jax.lax.fori_loop(0, CHUNK, step, state_ref[:])
-        state_ref[:] = s_final
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    y_ref[0, 0] = acc
+    state_ref[head] = jnp.stack(state_cols, axis=1)
 
 
-# NB: pl imported lazily so CPU-only environments can import this module.
-from jax.experimental import pallas as pl  # noqa: E402
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+def _tri_and_pows(a_diag: jnp.ndarray, b: jnp.ndarray, L: int):
+    """Per-mode lower-tri decay Toeplitz + carry powers.
+
+    Returns tri [H, d, L, L] and epow [H, L+1, d]
+    (epow[t] = exp(a)^(t+1); epow[L] = exp(a)^L).
+    """
+    H, d = a_diag.shape
+    decay = jnp.exp(jnp.clip(a_diag, -50.0, 50.0))            # [H, d]
+    t = jnp.arange(L + 1, dtype=jnp.float32)
+    pows = decay[:, None, :] ** t[None, :, None]              # [H, L+1, d]
+    ti = jnp.arange(L)
+    lag = (ti[:, None] - ti[None, :]).astype(jnp.float32)     # [L, L]
+    tri = jnp.where(lag[None, None] >= 0,
+                    decay[:, :, None, None] ** lag[None, None], 0.0)
+    tri = tri * b[:, :, None, None]
+    epow = jnp.concatenate([pows[:, 1:L + 1], pows[:, L:L + 1]], axis=1)
+    return tri, epow
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def s4_scan_pallas(u: jnp.ndarray, a_diag: jnp.ndarray, b: jnp.ndarray,
                    c_full: jnp.ndarray, interpret: bool = False
                    ) -> jnp.ndarray:
-    """u: [B, T, C] -> y: [B, T, C]; causal diagonal-SSM recurrence."""
+    """u: [B, T, C=H*e] -> y: [B, T, C]; causal diagonal-SSM recurrence."""
     B, T, C = u.shape
     H, d = a_diag.shape
+    e = C // H
     pad = (-T) % CHUNK
     if pad:
         u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
     Tp = T + pad
-    decay = jnp.exp(jnp.clip(a_diag, -50.0, 50.0)).astype(jnp.float32)
+    n_chunks = Tp // CHUNK
+    tri, epow = _tri_and_pows(a_diag, b, CHUNK)
 
-    kernel = pl.pallas_call(
-        _s4_kernel,
-        out_shape=jax.ShapeDtypeStruct((Tp, C), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((C, d), jnp.float32)],
+    # channels regrouped so each head's e channels are a contiguous block
+    u_heads = u.astype(jnp.float32).reshape(B, Tp, H, e)
+    u_heads = jnp.moveaxis(u_heads, 2, 1)                     # [B, H, Tp, e]
+
+    out = pl.pallas_call(
+        _s4_head_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, e), jnp.float32),
+        grid=(B, n_chunks, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, CHUNK, e),
+                         lambda bi, ci, hi: (bi, hi, ci, 0)),
+            pl.BlockSpec((1, d, CHUNK, CHUNK),
+                         lambda bi, ci, hi: (hi, 0, 0, 0)),
+            pl.BlockSpec((1, CHUNK + 1, d), lambda bi, ci, hi: (hi, 0, 0)),
+            pl.BlockSpec((1, d, e), lambda bi, ci, hi: (hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, CHUNK, e),
+                               lambda bi, ci, hi: (bi, hi, ci, 0)),
+        scratch_shapes=[pltpu.VMEM((H, e, d), jnp.float32)],
         interpret=interpret,
-    )
+    )(u_heads, tri, epow, c_full.astype(jnp.float32))
 
-    def per_batch(ub):
-        return kernel(ub.astype(jnp.float32), decay,
-                      b.astype(jnp.float32), c_full.astype(jnp.float32))
-
-    y = jax.vmap(per_batch)(u)
+    y = jnp.moveaxis(out, 1, 2).reshape(B, Tp, C)
     return y[:, :T, :].astype(u.dtype)
 
 
