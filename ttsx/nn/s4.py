@@ -134,10 +134,15 @@ class S4(nn.Module):
         mode = cfg.kernel_mode
         if mode == "auto":
             mode = "fft"
+        if mode in ("scan", "pallas") and not cfg.causal:
+            raise ValueError(f"{mode} kernel path is causal-only")
         if mode == "scan":
-            if not cfg.causal:
-                raise ValueError("scan kernel path is causal-only")
             y = scan_dw_conv(h, a_diag, b_in, c_full)
+        elif mode == "pallas":
+            # chunked VMEM-resident recurrence (ttsx/ops/s4_kernel.py);
+            # falls back to the associative scan off-TPU
+            from ttsx.ops.s4_kernel import s4_scan
+            y = s4_scan(h, a_diag, b_in, c_full)
         else:
             w = ssm_kernel(a_diag, b_in, c_full, T)
             y = fft_dw_conv(h, w, cfg.causal)
