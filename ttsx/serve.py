@@ -38,9 +38,19 @@ class SynthesisServer:
     """Fixed-bucket batching server over a dp mesh."""
 
     def __init__(self, cfg: TTSXConfig, params, mesh=None,
-                 max_batch: int = 8, frames: int = 512):
+                 max_batch: int = 8, frames: int = 512,
+                 bf16: bool = True):
         self.cfg = cfg
         self.pipe = TTSPipeline(cfg)
+        # bf16 halves activation HBM — at B=4 x 10 s the f32 generator
+        # activations OOM a v5e chip; bf16 runs 200x realtime (round-1
+        # measurement, see PARITY.md)
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
+        self.dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.params = params
         self.max_batch = max_batch
         self.frames = frames
@@ -48,7 +58,7 @@ class SynthesisServer:
         self._fn = jax.jit(self._synth)
         if mesh is not None:
             from ttsx.parallel import replicate
-            self.params = replicate(params, mesh)
+            self.params = replicate(self.params, mesh)
 
     def _synth(self, params, text, pros, emo, spk, sid):
         out = self.pipe.synthesize(params, text, pros, emo, spk, sid,
@@ -76,7 +86,8 @@ class SynthesisServer:
 
     def serve_batch(self, reqs: Sequence[SynthesisRequest]) -> List[np.ndarray]:
         text, pros, emo, spk, sid, lens = self._pad_batch(reqs)
-        arrays = [jnp.asarray(x) for x in (text, pros, emo, spk, sid)]
+        arrays = [jnp.asarray(x, self.dtype)
+                  for x in (text, pros, emo, spk)] + [jnp.asarray(sid)]
         if self.mesh is not None:
             from ttsx.parallel import shard_batch_dp
             with self.mesh:
