@@ -1,0 +1,60 @@
+"""CLI entry-point tests (in-process argv drive)."""
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from ttsx.data.dataset import write_wav
+
+
+def two_tone_wav(path, seconds=5.0, sr=16000):
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 180 * t)
+           * (np.sin(2 * np.pi * 0.4 * t) > 0)   # on/off bursts
+           + 0.005 * rng.normal(size=len(t))).astype(np.float32)
+    write_wav(path, wav, sr)
+
+
+def test_observer_cli_job(tmp_path, capsys, monkeypatch):
+    from ttsx.cli.main import main_observer
+    wav = tmp_path / "job.wav"
+    two_tone_wav(wav)
+    rc = main_observer(["--device", "cpu", "--job", str(wav),
+                        "--output-dir", str(tmp_path / "out")])
+    assert rc == 0
+    summary = json.loads((tmp_path / "out" / "job_summary.json").read_text())
+    assert summary["status"] in ("done", "partial-failure")
+
+
+def test_diarize_cli(tmp_path):
+    from ttsx.cli.main import main_diarize
+    wav = tmp_path / "meet.wav"
+    two_tone_wav(wav)
+    rc = main_diarize(["--device", "cpu", str(wav),
+                       "--output-dir", str(tmp_path / "dia"),
+                       "--snapshot", str(tmp_path / "mem.pkl")])
+    assert rc == 0
+    assert (tmp_path / "dia" / "diarization_log.json").exists()
+    assert (tmp_path / "mem.pkl").exists()
+
+
+def test_refenc_eer_cli(tmp_path, capsys):
+    from ttsx.cli.main import main_refenc_eer
+    rng = np.random.default_rng(0)
+    lines = []
+    for spk in ("a", "b"):
+        for i in range(2):
+            p = tmp_path / f"{spk}{i}.wav"
+            base = 150 if spk == "a" else 350
+            t = np.arange(8000) / 22050
+            write_wav(p, np.sin(2 * np.pi * base * t).astype(np.float32),
+                      22050)
+            lines.append(f"{p}\t{spk}")
+    fl = tmp_path / "list.txt"
+    fl.write_text("\n".join(lines))
+    rc = main_refenc_eer(["--device", "cpu", str(fl)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "eer" in out and out["n"] == 4

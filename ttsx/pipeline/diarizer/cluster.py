@@ -273,6 +273,57 @@ class ReIDMemory:
         else:
             self._new_speaker(spk, emb)
 
+    # -- temporal context + smoothing (cluster.py:453-458, 496-501) -------
+    @staticmethod
+    def tcn_context(embs: np.ndarray, starts: np.ndarray,
+                    kernel: int = 3, dilations=(1, 2)) -> np.ndarray:
+        """Dilated causal temporal smoothing over the slice sequence (the
+        reference's TCN context + 2-source gating fusion): each slice's
+        embedding is blended with exponentially-time-weighted causal
+        neighbors, gated by cosine agreement."""
+        order = np.argsort(starts)
+        e = embs[order]
+        e = e / (np.linalg.norm(e, axis=1, keepdims=True) + 1e-8)
+        out = e.copy()
+        for dil in dilations:
+            ctx = np.zeros_like(out)
+            wsum = np.zeros(len(out))
+            for k in range(1, kernel):
+                idx = np.arange(len(out)) - k * dil
+                valid = idx >= 0
+                w = np.exp(-k * 0.5)
+                ctx[valid] += w * out[idx[valid]]
+                wsum[valid] += w
+            has = wsum > 0
+            ctx[has] /= wsum[has, None]
+            # gate: agree -> blend, disagree -> keep own
+            gate = np.clip((out * ctx).sum(1, keepdims=True), 0.0, 1.0)
+            out = out + 0.5 * gate * ctx
+            out /= np.linalg.norm(out, axis=1, keepdims=True) + 1e-8
+        result = np.empty_like(out)
+        result[order] = out
+        return result
+
+    @staticmethod
+    def smooth_labels(labels: np.ndarray, starts: np.ndarray,
+                      sims: Optional[np.ndarray] = None,
+                      window: int = 2) -> np.ndarray:
+        """Positional-context label smoothing (the reference's transformer
+        smoothing with start-time positional encoding): flip isolated
+        single-slice speaker switches to the local majority."""
+        order = np.argsort(starts)
+        lab = labels[order].copy()
+        for i in range(1, len(lab) - 1):
+            lo = max(0, i - window)
+            hi = min(len(lab), i + window + 1)
+            neigh = np.concatenate([lab[lo:i], lab[i + 1:hi]])
+            if len(neigh) and (neigh != lab[i]).all():
+                vals, counts = np.unique(neigh, return_counts=True)
+                lab[i] = vals[np.argmax(counts)]
+        out = np.empty_like(lab)
+        out[order] = lab
+        return out
+
     # -- NT-Xent online contrastive refresh (cluster.py:503-517) ----------
     def contrastive_refresh(self, embs: np.ndarray, speakers: Sequence[str],
                             temperature: float = 0.1, lr: float = 0.05,

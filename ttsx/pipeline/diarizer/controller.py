@@ -99,8 +99,10 @@ class DiarizerController:
             times["similarity"] = time.perf_counter() - t
 
             t = time.perf_counter()
+            embs = ReIDMemory.tcn_context(embs, starts)
             labels = temporal_cluster(embs, starts,
                                       method=self.cluster_method)
+            labels = ReIDMemory.smooth_labels(labels, starts)
             times["cluster"] = time.perf_counter() - t
 
             t = time.perf_counter()
