@@ -128,23 +128,45 @@ class ProsodyExtractStage(Stage):
 
         results = {}
         au = self.cfg.audio
+        # fixed analysis window: long recordings stream through ONE
+        # compiled program (main.py:156-295 >1 GB chunk processing,
+        # expressed as static-shape windows instead of ffmpeg splits)
+        win = self.max_frames * au.hop_length
         for spk in context.get("speaker_ids", []):
             wav_path = Path(context["output_dir"]) / "speakers" / f"{spk}.wav"
             if not wav_path.exists():
                 continue
             wav, _ = read_wav(wav_path, au.sample_rate)
-            w = jnp.asarray(wav[None])
-            f0, energy, voiced = extract_f0_energy(w, au)
+            f0_parts, en_parts, v_parts = [], [], []
+            for off in range(0, max(len(wav), 1), win):
+                part = wav[off:off + win]
+                if len(part) < au.win_length:
+                    break
+                pad = win - len(part)
+                if pad:
+                    part = np.concatenate(
+                        [part, np.zeros(pad, np.float32)])
+                w = jnp.asarray(part[None])
+                f0c, enc, vc = extract_f0_energy(w, au)
+                n_valid = (len(wav) - off) // au.hop_length
+                f0_parts.append(np.asarray(f0c)[0][:n_valid])
+                en_parts.append(np.asarray(enc)[0][:n_valid])
+                v_parts.append(np.asarray(vc)[0][:n_valid])
+            f0 = np.concatenate(f0_parts) if f0_parts else np.zeros(0)
+            energy = np.concatenate(en_parts) if en_parts else np.zeros(0)
+            voiced = np.concatenate(v_parts) if v_parts else np.zeros(0,
+                                                                      bool)
             trend = {
-                "f0": np.asarray(f0)[0].round(2).tolist(),
-                "energy": np.asarray(energy)[0].round(5).tolist(),
-                "voiced_ratio": float(np.asarray(voiced).mean()),
+                "f0": f0.round(2).tolist(),
+                "energy": energy.round(5).tolist(),
+                "voiced_ratio": float(voiced.mean()) if len(voiced) else 0.0,
             }
             if self.params is not None:
                 from ttsx.models.prosody import ProsodyPredictor
                 if self._predictor is None:
                     self._predictor = ProsodyPredictor(self.cfg)
-                mel = mel_spectrogram(w, au)[:, :self.max_frames]
+                head = jnp.asarray(wav[None, :win])
+                mel = mel_spectrogram(head, au)[:, :self.max_frames]
                 feats = self._predictor.apply(self.params, mel)
                 trend["model_f0"] = np.asarray(
                     feats["f0"])[0].round(2).tolist()
