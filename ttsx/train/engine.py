@@ -183,13 +183,14 @@ class UnifiedTrainer:
         use_ema = self.cfg.train.novel.ema_swap_validate
         vals = []
         for batch in self.val_iter:
-            params = self.block_states["acoustic"].eval_params(False)
+            batch = self._place(batch)
+            params = self.block_states["acoustic"].eval_params(use_ema)
             out = self.blocks["acoustic"].val_step(params, batch)
             mel_pred = out["mel_pred"]
             if "refiner" in self.blocks:
                 rout = self.blocks["refiner"].val_step(
-                    self.block_states["refiner"].eval_params(False), batch,
-                    mel_pred)
+                    self.block_states["refiner"].eval_params(use_ema),
+                    batch, mel_pred)
                 vals.append(float(rout["val_l1"]))
             else:
                 vals.append(float(out["val_l1"]))
