@@ -144,18 +144,28 @@ class UnifiedTrainer:
             voc = self.blocks["vocoder"]
             vstate = self.block_states["vocoder"]
             d_steps = self._dynamic_d_steps()
-            for _ in range(d_steps):
-                vstate, dm = voc.disc_step(vstate, batch)
-            vstate, gm = voc.gen_step(vstate, batch)
-            self.block_states["vocoder"] = vstate
-            d_l, g_l = float(dm["d_loss"]), float(gm["g_loss"])
-            metrics["vocoder/d_loss"] = d_l
-            metrics["vocoder/g_loss"] = g_l
-            metrics["vocoder/d_steps"] = d_steps
-            # loss EMAs drive the dynamic D:G ratio (loop.py:91-104)
-            a = 0.9
-            self.state.d_loss_ema = a * self.state.d_loss_ema + (1 - a) * d_l
-            self.state.g_loss_ema = a * self.state.g_loss_ema + (1 - a) * g_l
+            try:
+                for _ in range(d_steps):
+                    vstate, dm = voc.disc_step(vstate, batch)
+                vstate, gm = voc.gen_step(vstate, batch)
+                self.block_states["vocoder"] = vstate
+                d_l, g_l = float(dm["d_loss"]), float(gm["g_loss"])
+                metrics["vocoder/d_loss"] = d_l
+                metrics["vocoder/g_loss"] = g_l
+                metrics["vocoder/d_steps"] = d_steps
+                # loss EMAs drive the dynamic D:G ratio (loop.py:91-104)
+                a = 0.9
+                self.state.d_loss_ema = (a * self.state.d_loss_ema
+                                         + (1 - a) * d_l)
+                self.state.g_loss_ema = (a * self.state.g_loss_ema
+                                         + (1 - a) * g_l)
+            except RuntimeError as e:
+                # OOM catch + skip step (unified_trainer.py:189-194;
+                # state.oom_count at train/engine/state.py:11)
+                if "RESOURCE_EXHAUSTED" not in str(e) and "OOM" not in str(e):
+                    raise
+                self.state.oom_count += 1
+                metrics["vocoder/oom"] = self.state.oom_count
 
         self.state.global_step += 1
         dt = time.perf_counter() - t0
