@@ -37,11 +37,12 @@ class AcousticBlock:
 
     def init_state(self, rng: jax.Array, batch: Dict) -> TrainState:
         rng, init_rng = jax.random.split(rng)
-        params = self.model.init(
-            {"params": init_rng, "diffusion": init_rng, "dropout": init_rng},
+        # jitted init: one compiled program, not an eager op storm
+        params = jax.jit(lambda r: self.model.init(
+            {"params": r, "diffusion": r, "dropout": r},
             batch["text_emb"], batch["prosody"], batch["emotion_probs"],
             target_mel=batch["mel"], speaker=batch.get("speaker"),
-            deterministic=False)
+            deterministic=False))(init_rng)
         tx = make_optimizer(self.cfg.train.lr, self.cfg.train.warmup_steps,
                             self.cfg.train.max_steps,
                             self.cfg.train.weight_decay,
@@ -93,9 +94,9 @@ class RefinerBlock:
 
     def init_state(self, rng: jax.Array, batch: Dict) -> TrainState:
         rng, init_rng = jax.random.split(rng)
-        params = self.model.init(
-            init_rng, batch["mel"], batch["prosody"], batch["style_id"],
-            batch["text_emb"])
+        params = jax.jit(lambda r: self.model.init(
+            r, batch["mel"], batch["prosody"], batch["style_id"],
+            batch["text_emb"]))(init_rng)
         tx = make_optimizer(self.cfg.train.lr, self.cfg.train.warmup_steps,
                             self.cfg.train.max_steps,
                             self.cfg.train.weight_decay,
@@ -176,13 +177,13 @@ class VocoderBlock:
         mel = batch["mel"]
         wav = batch["wav"]
         style = jnp.zeros((mel.shape[0], vc.style_dim), mel.dtype)
-        gp = self.gen.init(r[0], mel, batch["prosody"], style,
-                           batch["emotion_probs"])
-        gstp = self.gst.init(r[1], mel)
-        mpdp = self.mpd.init(r[2], wav)
-        msdp = self.msd.init(r[3], wav)
-        mbdp = self.mbd.init(r[4], wav)
-        stftp = self.stft_loss.init(r[5], wav, wav)
+        gp = jax.jit(lambda k: self.gen.init(
+            k, mel, batch["prosody"], style, batch["emotion_probs"]))(r[0])
+        gstp = jax.jit(lambda k: self.gst.init(k, mel))(r[1])
+        mpdp = jax.jit(lambda k: self.mpd.init(k, wav))(r[2])
+        msdp = jax.jit(lambda k: self.msd.init(k, wav))(r[3])
+        mbdp = jax.jit(lambda k: self.mbd.init(k, wav))(r[4])
+        stftp = jax.jit(lambda k: self.stft_loss.init(k, wav, wav))(r[5])
         mk = lambda apply_fn, p, ema=0.0: TrainState.create(
             apply_fn, p,
             make_optimizer(tr.lr, tr.warmup_steps, tr.max_steps,

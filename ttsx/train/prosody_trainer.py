@@ -29,7 +29,7 @@ class ProsodyTrainer:
 
     def init_state(self, rng: jax.Array, mel: jnp.ndarray) -> TrainState:
         rng, init_rng = jax.random.split(rng)
-        params = self.model.init(init_rng, mel)
+        params = jax.jit(lambda r: self.model.init(r, mel))(init_rng)
         lr, warmup, total = self._opt
         tx = make_optimizer(lr, warmup, total)
         return TrainState.create(self.model.apply, params, tx, rng)

@@ -32,7 +32,8 @@ class RefEncTrainer:
     def init_state(self, rng: jax.Array, mel: jnp.ndarray) -> TrainState:
         cfg = self.cfg
         rng, init_rng, loss_rng = jax.random.split(rng, 3)
-        params = {"model": self.model.init(init_rng, mel)}
+        params = {"model": jax.jit(
+            lambda r: self.model.init(r, mel))(init_rng)}
         if cfg.loss == "arcface":
             params["arcface_w"] = jax.nn.initializers.glorot_uniform()(
                 loss_rng, (cfg.num_speakers, cfg.speaker_dim))
