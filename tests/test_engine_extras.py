@@ -66,3 +66,17 @@ def test_engine_dp_mesh_step():
     with mesh:
         state = tr.train(max_steps=2)
     assert state.global_step == 2
+
+
+def test_engine_grad_accum():
+    cfg = cfg_with(val_freq=0, checkpoint_freq=0, max_steps=2,
+                   grad_accum_steps=2)
+    tr = UnifiedTrainer(cfg, synthetic_stream(cfg, 2, 4, n=6),
+                        blocks=("acoustic",))
+    first = synthetic_batch(cfg, 2, 4, seed=0, with_wav=False)
+    tr.init_states(first)
+    m = tr.train_step(first)
+    assert np.isfinite(m["acoustic/loss"])
+    # a second accumulated step still has batches to consume
+    m2 = tr.train_step(synthetic_batch(cfg, 2, 4, seed=7, with_wav=False))
+    assert np.isfinite(m2["acoustic/loss"])

@@ -72,6 +72,41 @@ class AcousticBlock:
         return state, {"metrics": metrics, "mel_pred": mel}
 
     @partial(jax.jit, static_argnums=(0,))
+    def train_step_accum(self, state: TrainState, batches: Dict
+                         ) -> Tuple[TrainState, Dict]:
+        """Gradient accumulation over stacked micro-batches [A, ...] as a
+        lax.scan — one optimizer step per accumulation window
+        (train/engine/loop.py:72,84 grad_accum_steps)."""
+        state, rng = state.next_rng()
+        c = self.cfg.acoustic
+
+        def loss_fn(params, mb):
+            out = state.apply_fn(
+                params, mb["text_emb"], mb["prosody"], mb["emotion_probs"],
+                target_mel=mb["mel"], speaker=mb.get("speaker"),
+                deterministic=False,
+                rngs={"diffusion": rng, "dropout": rng})
+            loss, _ = L.composite_acoustic_loss(
+                out, mb["mel"], c.w_mel, c.w_mse, c.w_disc, c.w_diff,
+                c.w_emo, mask=mb.get("frame_mask"))
+            return loss, out.mel
+
+        def micro(carry, mb):
+            g_acc, l_acc = carry
+            (loss, mel), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, mb)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            return (g_acc, l_acc + loss), mel
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (grads, loss), mels = jax.lax.scan(micro, (zeros, 0.0), batches)
+        n = jax.tree_util.tree_leaves(batches)[0].shape[0]  # static A
+        grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+        state = state.apply_gradients(grads)
+        return state, {"metrics": {"loss": loss / n},
+                       "mel_pred": mels[-1]}
+
+    @partial(jax.jit, static_argnums=(0,))
     def val_step(self, params, batch: Dict) -> Dict:
         out = self.model.apply(
             params, batch["text_emb"], batch["prosody"],

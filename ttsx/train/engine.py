@@ -121,8 +121,23 @@ class UnifiedTrainer:
         mel_pred = batch["mel"]
 
         if "acoustic" in self.blocks:
-            st, out = self.blocks["acoustic"].train_step(
-                self.block_states["acoustic"], batch)
+            if cfg.grad_accum_steps > 1:
+                # collect A-1 more batches, stack, one accumulated step
+                micro = [batch]
+                for _ in range(cfg.grad_accum_steps - 1):
+                    try:
+                        micro.append(self._place(next(self.train_iter)))
+                    except StopIteration:
+                        break
+                keys = [k for k in micro[0]
+                        if hasattr(micro[0][k], "shape")]
+                stacked = {k: jnp.stack([jnp.asarray(m[k]) for m in micro])
+                           for k in keys}
+                st, out = self.blocks["acoustic"].train_step_accum(
+                    self.block_states["acoustic"], stacked)
+            else:
+                st, out = self.blocks["acoustic"].train_step(
+                    self.block_states["acoustic"], batch)
             self.block_states["acoustic"] = st
             metrics.update({f"acoustic/{k}": float(v)
                             for k, v in out["metrics"].items()})
