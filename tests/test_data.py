@@ -136,3 +136,23 @@ def test_collator_cache_and_reproducibility(audio_tree):
     b1 = coll([ds[0], ds[1]], epoch=0, batch_idx=0)
     b2 = coll([ds[0], ds[1]], epoch=0, batch_idx=0)
     np.testing.assert_allclose(b1["wav"], b2["wav"])  # cache hit
+
+
+def test_collator_to_trainer_adapter(audio_tree):
+    from ttsx.data import collator_to_trainer_batch
+    from ttsx.core.config import TTSXConfig, AcousticConfig
+    ds = TTSDataset(TTSDatasetConfig(audio_root=str(audio_tree), audio=AU,
+                                     text_emb_dim=32))
+    coll = TTSCollator(CollatorConfig(audio=AU, augment=False,
+                                      bucket_wav=1024, bucket_text=16))
+    raw = coll([ds[0], ds[1]])
+    cfg = TTSXConfig(acoustic=AcousticConfig(text_emb_dim=32,
+                                             speaker_dim=8))
+    b = collator_to_trainer_batch(raw, cfg)
+    B, T, _ = b["mel"].shape
+    assert b["prosody"].shape == (B, T, 18)
+    assert b["text_emb"].shape == (B, T, 32)
+    assert b["speaker"].shape == (B, 8)
+    assert b["emotion_probs"].shape == (B, 6)
+    assert b["wav"].ndim == 3
+    assert np.isfinite(b["prosody"]).all()

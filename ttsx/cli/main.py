@@ -112,17 +112,21 @@ def main_train(argv=None):
         stream = synthetic_stream(cfg, batch=2, frames=16, n=steps)
     else:
         from ttsx.data import (TTSDataset, TTSDatasetConfig, TTSCollator,
-                               CollatorConfig)
-        ds = TTSDataset(TTSDatasetConfig(audio_root=args.data_root,
-                                         audio=cfg.audio))
+                               CollatorConfig, collator_to_trainer_batch)
+        ds = TTSDataset(TTSDatasetConfig(
+            audio_root=args.data_root, audio=cfg.audio,
+            text_emb_dim=cfg.acoustic.text_emb_dim))
         coll = TTSCollator(CollatorConfig(audio=cfg.audio))
 
         def stream_fn():
             import numpy as np
             rng = np.random.default_rng(cfg.train.seed)
+            bi = 0
             while True:
                 idx = rng.choice(len(ds), cfg.train.batch_size)
-                yield coll([ds[int(i)] for i in idx])
+                raw = coll([ds[int(i)] for i in idx], batch_idx=bi)
+                bi += 1
+                yield collator_to_trainer_batch(raw, cfg)
         stream = stream_fn()
 
     out = Path(args.output_dir)

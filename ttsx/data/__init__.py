@@ -6,3 +6,4 @@ from ttsx.data.collate import (
     add_reverb, speed_perturb, spec_augment, mixup, bucket_length)
 from ttsx.data.synthetic import synthetic_batch, synthetic_stream
 from ttsx.data.refenc_dataset import RefEncDataset, ProsodyManifestDataset
+from ttsx.data.adapters import collator_to_trainer_batch
