@@ -62,3 +62,20 @@ def test_s4_kernel_matches_fft_conv():
     got = s4_scan_pallas(u, a, b, c, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("f,cin,cout,t", [(4, 8, 6, 10), (8, 16, 8, 33),
+                                          (2, 4, 4, 7)])
+def test_upsample_kernel_parity(f, cin, cout, t):
+    from ttsx.nn.conv import ConvTranspose1d
+    from ttsx.ops.upsample_kernel import upsample_lrelu_pallas
+    m = ConvTranspose1d(cout, stride=f)
+    k = jax.random.PRNGKey(f)
+    x = jax.random.normal(k, (2, t, cin))
+    p = m.init(k, x)
+    ref = jax.nn.leaky_relu(m.apply(p, x), 0.1)
+    w = p["params"]["ConvTranspose_0"]["kernel"]
+    b = p["params"]["ConvTranspose_0"]["bias"]
+    got = upsample_lrelu_pallas(x, w, b, f, interpret=True)
+    assert got.shape == (2, t * f, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
