@@ -79,3 +79,21 @@ def test_upsample_kernel_parity(f, cin, cout, t):
     got = upsample_lrelu_pallas(x, w, b, f, interpret=True)
     assert got.shape == (2, t * f, cout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_generator_pallas_upsample_checkpoint_compat():
+    import dataclasses
+    from ttsx.core.config import VocoderConfig
+    from ttsx.models.vocoder import Generator
+    vc = VocoderConfig(hidden_dim=32, cond_dim=16, style_dim=32)
+    k = jax.random.PRNGKey(0)
+    mel = jax.random.normal(k, (1, 8, 80))
+    pros = jax.random.normal(k, (1, 8, 18))
+    style = jax.random.normal(k, (1, 32))
+    emo = jnp.full((1, 6), 1 / 6.0)
+    g = Generator(vc)
+    p = g.init(k, mel, pros, style, emo)
+    ref = g.apply(p, mel, pros, style, emo)
+    g2 = Generator(dataclasses.replace(vc, use_pallas_upsample=True))
+    got = g2.apply(p, mel, pros, style, emo)  # same checkpoint
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

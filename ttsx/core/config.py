@@ -208,6 +208,9 @@ class VocoderConfig:
     lambda_dur: float = 1.0
     lambda_fm: float = 2.0
     ema_decay: float = 0.999
+    # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
+    # off by default until trained-quality validation (round-2 agenda)
+    use_pallas_upsample: bool = False
 
 
 # --------------------------------------------------------------------------

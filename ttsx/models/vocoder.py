@@ -67,9 +67,14 @@ class BandTower(nn.Module):
         cfg = self.cfg
         ch = cfg.hidden_dim
         for i, factor in enumerate(cfg.upsample_factors):
-            x = ConvTranspose1d(ch // 2, stride=factor,
-                                kernel_size=2 * factor,
-                                name=f"up_{i}")(x)
+            if cfg.use_pallas_upsample:
+                from ttsx.nn.conv import PallasUpsample
+                x = PallasUpsample(ch // 2, stride=factor,
+                                   name=f"up_{i}")(x)
+            else:
+                x = ConvTranspose1d(ch // 2, stride=factor,
+                                    kernel_size=2 * factor,
+                                    name=f"up_{i}")(x)
             ch //= 2
             for j, dil in enumerate(cfg.res_dilations):
                 x = FiLMResidualBlock(ch, dil, cfg.cond_dim,

@@ -71,3 +71,36 @@ class ConvTranspose1d(nn.Module):
 def avg_pool1d(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
     """[B, T, C] average pool along T (SAME padding)."""
     return nn.avg_pool(x, window_shape=(window,), strides=(stride,), padding="SAME")
+
+
+class _ConvTParams(nn.Module):
+    """Param holder mirroring nn.ConvTranspose's tree (kernel, bias)."""
+    kernel_size: int
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel_size, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
+class PallasUpsample(nn.Module):
+    """ConvTranspose1d(stride=f) via the fused Pallas kernel on TPU
+    (ttsx/ops/upsample_kernel.py). The param tree matches ConvTranspose1d
+    (".../ConvTranspose_0/{kernel,bias}"), so checkpoints swap freely
+    between the two implementations."""
+    features: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w, b = _ConvTParams(2 * self.stride, x.shape[-1], self.features,
+                            name="ConvTranspose_0")()
+        import jax
+        from ttsx.ops.upsample_kernel import upsample_lrelu_pallas
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        return upsample_lrelu_pallas(x, w, b, self.stride,
+                                     interpret=interpret, lrelu=False)

@@ -31,34 +31,57 @@ from jax.experimental import pallas as pl
 TILE_T = 256
 
 
-def _upsample_kernel(xp_ref, xc_ref, xn_ref, w_prev_ref, w_cur_ref,
-                     w_next_ref, b_ref, out_ref):
+def _make_kernel(apply_lrelu: bool):
+    def kernel(xp_ref, xc_ref, xn_ref, w_prev_ref, w_cur_ref,
+               w_next_ref, b_ref, out_ref):
+        _upsample_body(xp_ref, xc_ref, xn_ref, w_prev_ref, w_cur_ref,
+                       w_next_ref, b_ref, out_ref, apply_lrelu)
+    return kernel
+
+
+def _upsample_body(xp_ref, xc_ref, xn_ref, w_prev_ref, w_cur_ref,
+                   w_next_ref, b_ref, out_ref, apply_lrelu):
     """xp/xc/xn: [1, TILE, Cin] pre-shifted aligned blocks (x[t-1], x[t],
     x[t+1]); w_*: [Cin, f*Cout]; out: [1, TILE*f, Cout].
 
     The neighbor shift happens on the XLA side: Mosaic vector loads must
     be 8-aligned in the sublane dim, so `pl.ds(start+1, L)` is illegal.
     """
-    Cout = out_ref.shape[2]
-    f = w_cur_ref.shape[1] // Cout
-    L = xc_ref.shape[1]
+    # output stays [L, f*Cout]; the interleave reshape to [L*f, Cout]
+    # happens outside the kernel (Mosaic rejects lane-splitting reshapes
+    # when Cout < the 128-lane width; XLA fuses the reshape for free)
     y = (jnp.dot(xc_ref[0], w_cur_ref[:],
                  preferred_element_type=jnp.float32)
          + jnp.dot(xn_ref[0], w_next_ref[:],
                    preferred_element_type=jnp.float32)
          + jnp.dot(xp_ref[0], w_prev_ref[:],
                    preferred_element_type=jnp.float32))
-    y = y.reshape(L * f, Cout) + b_ref[:]
-    out_ref[0] = jnp.where(y > 0, y, 0.1 * y)  # fused leaky-relu(0.1)
+    y = y + b_ref[:]  # b tiled to [1, f*Cout]
+    if apply_lrelu:
+        y = jnp.where(y > 0, y, 0.1 * y)  # fused leaky-relu(0.1)
+    out_ref[0] = y
 
 
-@partial(jax.jit, static_argnames=("factor", "interpret"))
 def upsample_lrelu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                          factor: int, interpret: bool = False
-                          ) -> jnp.ndarray:
+                          factor: int, interpret: bool = False,
+                          lrelu: bool = True) -> jnp.ndarray:
+    """vmap-safe wrapper: Mosaic rejects the default pallas batching rule
+    for this kernel (shape-cast in the interleave reshape), so outer vmap
+    axes (e.g. the generator's band axis) are folded into the kernel's own
+    batch grid dimension via a custom_vmap rule."""
+    fn = _get_vmap_safe(factor, interpret, lrelu)
+    return fn(x, w, b)
+
+
+@partial(jax.jit, static_argnames=("factor", "interpret", "lrelu"))
+def _upsample_impl(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                   factor: int, interpret: bool = False,
+                   lrelu: bool = True) -> jnp.ndarray:
     """x: [B, T, Cin]; w: [2f, Cin, Cout] (flax ConvTranspose layout);
-    b: [Cout] -> leaky_relu(conv_transpose(x), 0.1) cropped to
-    [B, T*f, Cout], matching ttsx.nn.conv.ConvTranspose1d(stride=f)."""
+    b: [Cout] -> [leaky_relu(0.1)] conv_transpose(x) cropped to
+    [B, T*f, Cout], matching ttsx.nn.conv.ConvTranspose1d(stride=f).
+    Set lrelu=False for a bare ConvT (when the consumer applies its own
+    activation, e.g. FiLMResidualBlock's entry leaky-relu)."""
     B, T, Cin = x.shape
     k, _, Cout = w.shape
     f = factor
@@ -85,17 +108,52 @@ def upsample_lrelu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     x_next = jnp.pad(xf[:, 1:], ((0, 0), (0, 1), (0, 0)))
     tiles = Tp // TILE_T
 
+    b_tiled = jnp.tile(b.astype(jnp.float32), (f,))[None, :]
+
     row = lambda: pl.BlockSpec((1, TILE_T, Cin), lambda bi, ti: (bi, ti, 0))
     wspec = lambda: pl.BlockSpec((Cin, f * Cout), lambda bi, ti: (0, 0))
     out = pl.pallas_call(
-        _upsample_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Tp * f, Cout), jnp.float32),
+        _make_kernel(lrelu),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, f * Cout), jnp.float32),
         grid=(B, tiles),
         in_specs=[row(), row(), row(), wspec(), wspec(), wspec(),
-                  pl.BlockSpec((1, Cout), lambda bi, ti: (0, 0))],
-        out_specs=pl.BlockSpec((1, TILE_T * f, Cout),
+                  pl.BlockSpec((1, f * Cout), lambda bi, ti: (0, 0))],
+        out_specs=pl.BlockSpec((1, TILE_T, f * Cout),
                                lambda bi, ti: (bi, ti, 0)),
         interpret=interpret,
-    )(x_prev, xf, x_next, w_prv, w_cur, w_nxt,
-      b[None, :].astype(jnp.float32))
+    )(x_prev, xf, x_next, w_prv, w_cur, w_nxt, b_tiled)
+    out = out.reshape(B, Tp * f, Cout)
     return out[:, :T * f, :].astype(x.dtype)
+
+
+_VMAP_SAFE_CACHE = {}
+
+
+def _get_vmap_safe(factor: int, interpret: bool, lrelu: bool):
+    key = (factor, interpret, lrelu)
+    if key in _VMAP_SAFE_CACHE:
+        return _VMAP_SAFE_CACHE[key]
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def fn(x, w, b):
+        return _upsample_impl(x, w, b, factor, interpret, lrelu)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, x, w, b):
+        xb, wb, bb = in_batched
+        if not xb:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        if wb or bb:
+            # batched weights: sequential fallback (never hit by the
+            # generator's shared-tower vmap)
+            out = jax.lax.map(lambda args: fn(*args), (x, w, b))
+            return out, True
+        Bv, B, T, Cin = x.shape
+        y = _upsample_impl(x.reshape(Bv * B, T, Cin), w, b, factor,
+                           interpret, lrelu)
+        return y.reshape(Bv, B, y.shape[1], y.shape[2]), True
+
+    _VMAP_SAFE_CACHE[key] = fn
+    return fn
