@@ -97,3 +97,26 @@ def test_generator_pallas_upsample_checkpoint_compat():
     g2 = Generator(dataclasses.replace(vc, use_pallas_upsample=True))
     got = g2.apply(p, mel, pros, style, emo)  # same checkpoint
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("dil", [1, 3, 5])
+def test_resblock_kernel_parity(dil):
+    from ttsx.models.vocoder import FiLMResidualBlock
+    from ttsx.ops.resblock_kernel import film_resblock_pallas
+    C, Ccond, B, T = 32, 16, 2, 40
+    m = FiLMResidualBlock(C, dil, Ccond)
+    k = jax.random.PRNGKey(dil)
+    x = jax.random.normal(k, (B, T, C))
+    cond = jax.random.normal(k, (B, T, Ccond))
+    p = m.init(k, x, cond)
+    ref = m.apply(p, x, cond)
+    pp = p["params"]
+    film = cond @ pp["Dense_0"]["kernel"] + pp["Dense_0"]["bias"]
+    scale, shift = jnp.split(film, 2, axis=-1)
+    got = film_resblock_pallas(
+        x, scale, shift,
+        pp["Conv1d_0"]["Conv_0"]["kernel"],
+        pp["Conv1d_0"]["Conv_0"]["bias"],
+        pp["Conv1d_1"]["Conv_0"]["kernel"],
+        pp["Conv1d_1"]["Conv_0"]["bias"], dil, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

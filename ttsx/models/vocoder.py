@@ -27,6 +27,32 @@ from ttsx.nn.conv import Conv1d, ConvTranspose1d, avg_pool1d
 from ttsx.nn.attention import SelfAttention1d
 
 
+class _ConvKB(nn.Module):
+    """kernel/bias params matching nn.Conv's tree."""
+    k: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.k, self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return w, b
+
+
+class _ConvParamHolder(nn.Module):
+    """Mirrors Conv1d's param tree ('<name>/Conv_0/{kernel,bias}') so the
+    fused-kernel path stays checkpoint-compatible with the XLA path."""
+    k: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvKB(self.k, self.cin, self.cout, name="Conv_0")()
+
+
 class FiLMResidualBlock(nn.Module):
     """Dilated conv residual block with GLU + FiLM conditioning
     (reconstruction of the missing vocoder7/residual.py; call site
@@ -35,6 +61,7 @@ class FiLMResidualBlock(nn.Module):
     dilation: int
     cond_dim: int
     kernel_size: int = 3
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -47,14 +74,28 @@ class FiLMResidualBlock(nn.Module):
         film = nn.Dense(2 * self.channels)(cond)
         scale, shift = jnp.split(film, 2, axis=-1)
 
+        if self.use_pallas and self.kernel_size == 3:
+            # whole block fused in VMEM (ttsx/ops/resblock_kernel.py);
+            # identical param tree (Conv1d_*/Conv_0/{kernel,bias}), so
+            # checkpoints swap freely with the XLA path
+            w1, b1 = _ConvParamHolder(3, C, 2 * self.channels,
+                                      name="Conv1d_0")()
+            w2, b2 = _ConvParamHolder(3, self.channels, self.channels,
+                                      name="Conv1d_1")()
+            from ttsx.ops.resblock_kernel import film_resblock_pallas
+            interpret = jax.devices()[0].platform not in ("tpu", "axon")
+            return film_resblock_pallas(x, scale, shift, w1, b1, w2, b2,
+                                        self.dilation,
+                                        interpret=interpret)
+
         y = nn.leaky_relu(x, 0.1)
         y = Conv1d(2 * self.channels, self.kernel_size,
-                   dilation=self.dilation)(y)
+                   dilation=self.dilation, name="Conv1d_0")(y)
         a, b = jnp.split(y, 2, axis=-1)
         y = a * jax.nn.sigmoid(b)                 # GLU
         y = y * (1.0 + scale) + shift             # FiLM
         y = nn.leaky_relu(y, 0.1)
-        y = Conv1d(self.channels, self.kernel_size)(y)
+        y = Conv1d(self.channels, self.kernel_size, name="Conv1d_1")(y)
         return x + y
 
 
@@ -77,6 +118,10 @@ class BandTower(nn.Module):
                                     name=f"up_{i}")(x)
             ch //= 2
             for j, dil in enumerate(cfg.res_dilations):
+                # NB: use_pallas stays False here — the fused resblock
+                # kernel measured 2.3x SLOWER than XLA on TPU (overlapping
+                # window materialization + sub-MXU matmul shapes); the
+                # ConvT upsample fusion above is the one that pays.
                 x = FiLMResidualBlock(ch, dil, cfg.cond_dim,
                                       name=f"res_{i}_{j}")(x, cond)
             if i == len(cfg.upsample_factors) // 2:
