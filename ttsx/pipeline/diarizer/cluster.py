@@ -306,20 +306,35 @@ class ReIDMemory:
 
     @staticmethod
     def smooth_labels(labels: np.ndarray, starts: np.ndarray,
-                      sims: Optional[np.ndarray] = None,
+                      embs: Optional[np.ndarray] = None,
                       window: int = 2) -> np.ndarray:
         """Positional-context label smoothing (the reference's transformer
         smoothing with start-time positional encoding): flip isolated
-        single-slice speaker switches to the local majority."""
+        single-slice speaker switches to the local majority — but only
+        when the slice's own embedding actually sides with the majority
+        cluster (alternating two-party speech must NOT be flattened)."""
         order = np.argsort(starts)
         lab = labels[order].copy()
+        e = None
+        if embs is not None:
+            e = embs[order]
+            e = e / (np.linalg.norm(e, axis=1, keepdims=True) + 1e-8)
         for i in range(1, len(lab) - 1):
             lo = max(0, i - window)
             hi = min(len(lab), i + window + 1)
             neigh = np.concatenate([lab[lo:i], lab[i + 1:hi]])
-            if len(neigh) and (neigh != lab[i]).all():
-                vals, counts = np.unique(neigh, return_counts=True)
-                lab[i] = vals[np.argmax(counts)]
+            if not len(neigh) or not (neigh != lab[i]).all():
+                continue
+            vals, counts = np.unique(neigh, return_counts=True)
+            maj = vals[np.argmax(counts)]
+            if e is not None:
+                own = lab == lab[i]
+                own[i] = False
+                own_sim = (e[i] @ e[own].mean(0)) if own.any() else -1.0
+                maj_sim = e[i] @ e[lab == maj].mean(0)
+                if own_sim >= maj_sim:
+                    continue  # embedding sides with its own cluster
+            lab[i] = maj
         out = np.empty_like(lab)
         out[order] = lab
         return out

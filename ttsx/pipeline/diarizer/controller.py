@@ -102,7 +102,7 @@ class DiarizerController:
             embs = ReIDMemory.tcn_context(embs, starts)
             labels = temporal_cluster(embs, starts,
                                       method=self.cluster_method)
-            labels = ReIDMemory.smooth_labels(labels, starts)
+            labels = ReIDMemory.smooth_labels(labels, starts, embs)
             times["cluster"] = time.perf_counter() - t
 
             t = time.perf_counter()

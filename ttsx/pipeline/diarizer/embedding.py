@@ -19,12 +19,18 @@ from ttsx.core.config import AudioConfig, RefEncConfig
 class SliceEmbedder:
     def __init__(self, au: AudioConfig | None = None,
                  cfg: RefEncConfig | None = None, params=None,
-                 max_frames: int = 256, context_layers: int = 2,
-                 seed: int = 0):
+                 max_frames: int = 256, context_layers: int = 0,
+                 spec_weight: float = 2.0, seed: int = 0):
+        # context_layers: cross-slice attention contextualization
+        # (embedding.py:63-110's transformer step). Defaults OFF: with an
+        # untrained encoder the softmax blend homogenizes embeddings and
+        # destroys speaker separation; enable once `params` is a trained
+        # checkpoint.
         self.au = au or AudioConfig()
         self.cfg = cfg or RefEncConfig(speaker_dim=192, ecapa_channels=256)
         self.max_frames = max_frames
         self.context_layers = context_layers
+        self.spec_weight = spec_weight
         self._params = params
         self._model = None
         self._seed = seed
@@ -70,6 +76,35 @@ class SliceEmbedder:
         mask = jnp.asarray(np.arange(T)[None, :] < mask_len[:, None])
         emb = self._model.apply(self._params, mel, mask)
         emb = np.asarray(emb, np.float32)
+
+        # deterministic spectral-statistics tail (the reference fuses TWO
+        # embedders — ECAPA + Resemblyzer — embedding.py:63-110; the second
+        # source here is a handcrafted voiceprint: per-slice mel mean/std,
+        # which keeps clustering informative even before the learned
+        # encoder is trained). Stats come from UNNORMALIZED log-mel — the
+        # frontend's per-bin normalization would erase exactly the
+        # spectral profile that identifies the voice.
+        import dataclasses as _dc
+        mel_raw = mel
+        if self.au.mel_normalize:
+            mel_raw = mel_spectrogram(
+                jnp.asarray(batch),
+                _dc.replace(self.au, mel_normalize=False))
+        m = np.asarray(mel_raw, np.float32)
+        msk = np.asarray(mask, np.float32)[..., None]
+        denom = np.maximum(msk.sum(1), 1.0)
+        mel_mean = (m * msk).sum(1) / denom                  # [n, n_mels]
+        mel_std = np.sqrt(np.maximum(
+            ((m - mel_mean[:, None]) ** 2 * msk).sum(1) / denom, 0.0))
+        spec = np.concatenate([mel_mean, mel_std], axis=1)
+        spec = (spec - spec.mean(0, keepdims=True)) / (
+            spec.std(0, keepdims=True) + 1e-6)
+        spec /= np.linalg.norm(spec, axis=1, keepdims=True) + 1e-8
+        # weight the voiceprint tail above the learned part: an untrained
+        # encoder maps everything near one direction (cos~1) and would
+        # otherwise swamp the discriminative spectral stats
+        emb = np.concatenate([emb, self.spec_weight * spec], axis=1)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8
 
         # cross-slice contextualization (embedding.py transformer step):
         # softmax(sim/temp) attention over slices, residual, renormalize
