@@ -266,3 +266,19 @@ def test_observer_pipeline_end_to_end(tmp_path):
         assert (d / "prosody_trend.json").exists()
         assert (d / "drift_vector.json").exists()
     assert (out / "observer_report.html").exists()
+
+
+def test_diarizer_separates_alternating_speakers(tmp_path):
+    """Two alternating synthetic voices must yield 2+ speakers with the
+    turn structure preserved (regression for the round-1 embedder fix)."""
+    wav, truth = two_speaker_wav(seconds=12.0)
+    wav_path = tmp_path / "alt.wav"
+    write_wav(wav_path, wav, AU.sample_rate)
+    ctl = DiarizerController(AU, min_dur=1.0, max_dur=3.0)
+    res = ctl.diarize_single(str(wav_path), str(tmp_path / "out"))
+    assert res
+    speakers = res["speakers"]
+    assert len(set(speakers)) >= 2
+    # consecutive slices must not be all one speaker
+    changes = sum(1 for a, b in zip(speakers, speakers[1:]) if a != b)
+    assert changes >= 2
