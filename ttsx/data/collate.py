@@ -77,6 +77,19 @@ def speed_perturb(wav: np.ndarray, rng: np.random.Generator,
                      wav).astype(np.float32)
 
 
+def load_noise_bank(directory, target_sr: int, limit: int = 64):
+    """Load a directory of wavs as an augmentation bank (the reference's
+    NOISE_FILES / RIR lists, reference_encoder/augment.py:10-44)."""
+    from pathlib import Path
+    from ttsx.data.dataset import read_wav
+    bank = []
+    for p in sorted(Path(directory).glob("**/*.wav"))[:limit]:
+        wav, _ = read_wav(p, target_sr)
+        if len(wav):
+            bank.append(wav)
+    return bank
+
+
 class AugmentationPipeline:
     """Random-order wav+noise augment chain (colate.py AugmentationPipeline)."""
 
