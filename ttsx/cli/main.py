@@ -180,12 +180,16 @@ def main_synth(argv=None):
     emo = jnp.full((1, 6), 1 / 6)
     spk = jnp.zeros((1, cfg.acoustic.speaker_dim))
     sid = jnp.zeros((1,), jnp.int32)
-    out = pipe.synthesize(params, text_emb, prosody, emo, spk, sid,
-                          rng=rng, use_sde=args.sde)
-    write_wav(args.out, np.asarray(out.wav)[0, :, 0], cfg.vocoder.sr)
+    # jit the whole synthesis: one compiled program instead of an eager
+    # per-op dispatch storm (fatal on remote-TPU backends)
+    synth = jax.jit(lambda p, t, pr, e, s, i, r: pipe.synthesize(
+        p, t, pr, e, s, i, rng=r, use_sde=args.sde).wav,
+        static_argnums=())
+    wav = synth(params, text_emb, prosody, emo, spk, sid, rng)
+    write_wav(args.out, np.asarray(wav)[0, :, 0], cfg.vocoder.sr)
     print(json.dumps({"wav": args.out,
-                      "samples": int(out.wav.shape[1]),
-                      "seconds": out.wav.shape[1] / cfg.vocoder.sr}))
+                      "samples": int(wav.shape[1]),
+                      "seconds": wav.shape[1] / cfg.vocoder.sr}))
     return 0
 
 
