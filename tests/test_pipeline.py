@@ -60,14 +60,70 @@ def test_sentiment_negation():
 
 def test_emotion_rules():
     f = emotion_utils.Features(pos=0.7, energy=0.8)
-    assert emotion_utils.classify(f).label == "joy"
-    f = emotion_utils.Features(neg=0.6, energy=1.0)
-    assert emotion_utils.classify(f).label == "anger"
+    assert emotion_utils.classify(f).label == "Happiness"
+    f = emotion_utils.Features(neg=0.6, pitch=1.0)
+    assert emotion_utils.classify(f).label == "Anger"
     f = emotion_utils.Features(neu=1.0)
-    assert emotion_utils.classify(f).label in ("calm", "neutral")
+    assert emotion_utils.classify(f).label in ("Calm", "Neutral")
     assert len(emotion_utils.RULES) == 31
     assert set(emotion_utils.GROUP_MAP.values()) == {
         "Positive", "Negative", "Neutral"}
+
+
+# the reference's exact 31-label vocabulary + group routing
+# (/root/reference/reference_encoder/modules/utils/emotion_utils.py:5-107)
+REFERENCE_EMOTIONS = {
+    "Anger": "Negative", "Anxiety": "Negative", "Contempt": "Negative",
+    "Despair": "Negative", "Disgust": "Negative", "Fear": "Negative",
+    "Frustration": "Negative", "Guilt": "Negative",
+    "Irritation": "Negative", "Jealousy": "Negative",
+    "Loneliness": "Negative", "Negative Surprise": "Negative",
+    "Sadness": "Negative",
+    "Boredom": "Neutral", "Calm": "Neutral", "Concentration": "Neutral",
+    "Flat narration": "Neutral", "Hesitant": "Neutral",
+    "Matter-of-fact Informational tone": "Neutral", "Neutral": "Neutral",
+    "Tired": "Neutral",
+    "Amusement": "Positive", "Enthusiasm": "Positive",
+    "Gratitude": "Positive", "Happiness": "Positive", "Hope": "Positive",
+    "Inspiration": "Positive", "Love": "Positive", "Pleasant": "Positive",
+    "Relief": "Positive", "Surprise": "Positive",
+}
+
+
+def test_emotion_vocabulary_matches_reference():
+    """tier2_tags.json / learned_rules.json must be drop-in comparable with
+    reference output: same 31 label names, same GROUP_MAP routing."""
+    assert set(emotion_utils.EMOTION_LABELS) == set(REFERENCE_EMOTIONS)
+    assert emotion_utils.GROUP_MAP == REFERENCE_EMOTIONS
+
+
+def test_every_emotion_rule_reachable():
+    """No rule may be dead or fully shadowed by an earlier first-match rule."""
+    kws = sorted({w for r in ["scared terrified afraid hopeless desperate",
+                              "worried nervous anxious disdain scorn contempt",
+                              "revolting gross disgusting annoyed frustrated",
+                              "sorry regret fault irritated bothered envy",
+                              "jealous unfair alone isolated lonely shock",
+                              "shocked unexpected funny amused laugh haha",
+                              "excited enthusiastic thankful grateful thank",
+                              "inspired motivated love affection hopeful",
+                              "optimistic hope relieved eased relief pleasant",
+                              "nice bored uninterested focused attentive",
+                              "monotone flat unsure hesitant um factual",
+                              "informative exhausted weary tired despair"]
+                  for w in r.split()})
+    rng = np.random.default_rng(0)
+    seen = set()
+    for _ in range(60000):
+        s = rng.dirichlet([1, 1, 1])
+        f = emotion_utils.Features(
+            pos=s[0], neg=s[1], neu=s[2],
+            pitch=rng.normal(), energy=rng.normal(),
+            speech_rate=rng.normal(), pause=rng.normal(),
+            pitch_var=rng.normal(), energy_var=rng.normal(),
+            keywords=frozenset(rng.choice(kws, size=rng.integers(0, 4))))
+        seen.add(emotion_utils.classify(f).label)
+    assert seen == set(emotion_utils.EMOTION_LABELS)
 
 
 def test_detect_drift_events():
@@ -188,9 +244,9 @@ def test_review_session(tagged_context, tmp_path):
     Tier2Stage()(ctx)
     sess = ReviewSession(str(tmp_path))
     assert sess.speakers() == ["spkA"]
-    sess.correct("spkA", 0.0, "joy", notes="clearly joyful")
+    sess.correct("spkA", 0.0, "Happiness", notes="clearly joyful")
     rules = read_json(tmp_path / "learned_rules.json")
-    assert rules["spkA"]["0.0"]["label"] == "joy"
+    assert rules["spkA"]["0.0"]["label"] == "Happiness"
     with pytest.raises(ValueError):
         sess.correct("spkA", 0.0, "not-an-emotion")
     html = sess.html_report(str(tmp_path / "report.html"))

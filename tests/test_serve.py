@@ -21,7 +21,7 @@ def tiny_cfg():
         refiner=RefinerConfig(levels=1, cond_dim=16, hidden_channels=16,
                               hsf_hidden=8, style_dim=8, beta_hidden=8,
                               s4=s4, sde_steps=2),
-        vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16))
+        vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16, disc_ch_growth=2))
 
 
 CFG = tiny_cfg()

@@ -22,7 +22,7 @@ def tiny_cfg():
         refiner=RefinerConfig(levels=1, cond_dim=16, hidden_channels=16,
                               hsf_hidden=8, style_dim=8, beta_hidden=8,
                               s4=s4, sde_steps=2),
-        vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16),
+        vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16, disc_ch_growth=2),
         train=TrainConfig(warmup_steps=2, max_steps=8, val_freq=0,
                           checkpoint_freq=0, lr=1e-3),
     )
@@ -53,6 +53,61 @@ def test_refiner_block_step():
     assert np.isfinite(float(out["metrics"]["loss"]))
     v = block.val_step(state.params, batch, mel_pred)
     assert np.isfinite(float(v["val_l1"]))
+
+
+def test_sde_score_points_toward_clean_data():
+    """Regression for the round-1 inverted score target (ADVICE high #1):
+    after training with the SDE term active, one Euler–Maruyama pass from a
+    noised start must move toward the target, not away from it."""
+    from ttsx.models.refiner import sde_sample
+    batch = synthetic_batch(CFG, batch=2, frames=8, with_wav=False)
+    block = RefinerBlock(CFG)
+    state = block.init_state(jax.random.PRNGKey(0), batch)
+    mel_pred = jnp.asarray(batch["mel"])  # clean input -> pure denoising
+    for _ in range(40):
+        state, out = block.train_step(state, batch, mel_pred,
+                                      jnp.asarray(0.5), jnp.asarray(0.5))
+    assert np.isfinite(float(out["metrics"]["loss"]))
+    rng = jax.random.PRNGKey(1)
+    x0 = mel_pred + jax.random.normal(rng, mel_pred.shape) * 0.5
+    x = sde_sample(block.model, state.params, x0,
+                   jnp.asarray(batch["prosody"]),
+                   jnp.asarray(batch["style_id"]),
+                   jnp.asarray(batch["text_emb"]), rng)
+    d0 = float(jnp.mean(jnp.abs(x0 - batch["mel"])))
+    d1 = float(jnp.mean(jnp.abs(x - batch["mel"])))
+    assert d1 < d0
+
+
+def test_stft_filterbank_frozen():
+    """The STFT-loss filterbank must never be optimized (ADVICE high #2:
+    descending it with G collapses the spectral objective to zero)."""
+    batch = synthetic_batch(CFG, batch=2, frames=4)
+    block = VocoderBlock(CFG)
+    states = block.init_state(jax.random.PRNGKey(0), batch)
+    before = [np.asarray(x) for x in
+              jax.tree_util.tree_leaves(states.stft.params)]
+    for _ in range(3):
+        states, _ = block.gen_step(states, batch)
+    after = jax.tree_util.tree_leaves(states.stft.params)
+    for x, y in zip(before, after):
+        np.testing.assert_array_equal(x, np.asarray(y))
+
+
+def test_validate_without_acoustic_and_oneshot_val_iter():
+    """Regression for ADVICE medium: refiner-only validate() must not
+    KeyError, and a one-shot generator val_iter must survive a second
+    validation pass."""
+    stream = synthetic_stream(CFG, batch=2, frames=8, n=4)
+    val_gen = (synthetic_batch(CFG, batch=2, frames=8, with_wav=False)
+               for _ in range(2))
+    tr = UnifiedTrainer(CFG, stream, val_iter=val_gen, blocks=("refiner",))
+    batch = synthetic_batch(CFG, batch=2, frames=8, with_wav=False)
+    tr.init_states(batch)
+    m1 = tr.validate()
+    m2 = tr.validate()
+    assert np.isfinite(m1["val_l1"])
+    assert np.isfinite(m2["val_l1"])
 
 
 def test_vocoder_block_gan_steps():

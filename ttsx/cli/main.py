@@ -199,9 +199,18 @@ def main_refenc_eer(argv=None):
     p = argparse.ArgumentParser("refenc-eer")
     add_common_args(p)
     p.add_argument("file_list")
-    p.add_argument("--checkpoint")
+    p.add_argument("--checkpoint",
+                   help="checkpoint dir written by refenc-train "
+                        "(containing best/ or final/)")
+    p.add_argument("--allow-random", action="store_true",
+                   help="permit an EER run on freshly initialized weights "
+                        "(meaningless number; for harness smoke tests only)")
     args = p.parse_args(argv)
     _apply_device(args.device)
+    if not args.checkpoint and not args.allow_random:
+        # an EER from random weights looks like a metric but isn't
+        p.error("refenc-eer requires --checkpoint (or --allow-random to "
+                "explicitly accept a meaningless random-weight EER)")
 
     import jax
     import jax.numpy as jnp
@@ -221,6 +230,23 @@ def main_refenc_eer(argv=None):
         mel = mel_spectrogram(jnp.asarray(wav[None]), cfg.audio)
         if params is None:
             params = model.init(jax.random.PRNGKey(args.seed), mel)
+            if args.checkpoint:
+                from ttsx.train.refenc_trainer import RefEncTrainer
+                from ttsx.train.checkpoint import restore_checkpoint
+                template = RefEncTrainer(cfg).init_state(
+                    jax.random.PRNGKey(args.seed), mel)
+                restored = None
+                for tag in ("best", "final"):
+                    restored = restore_checkpoint(
+                        args.checkpoint, tag, {"refenc": template})
+                    if restored is not None:
+                        break
+                if restored is None:
+                    raise SystemExit(
+                        f"no best/ or final/ checkpoint under "
+                        f"{args.checkpoint}")
+                # trainer state params = {"model": ..., "<loss>_w": ...}
+                params = restored[0]["refenc"].params["model"]
         embs.append(np.asarray(model.apply(params, mel))[0])
         spks.append(spk)
     uniq = {s: i for i, s in enumerate(sorted(set(spks)))}

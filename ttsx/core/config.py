@@ -196,6 +196,9 @@ class VocoderConfig:
     res_dilations: Tuple[int, ...] = (1, 3, 5)
     disc_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     disc_kernel_sizes: Tuple[int, ...] = (15, 41, 41)
+    # per-layer discriminator channel growth (reference x4: ch 1->4->16->
+    # 64->256(->1024 MSD), discriminators.py:22-31); tests shrink it
+    disc_ch_growth: int = 4
     sr: int = 22050
     hop_length: int = 256
     stft_sizes: Tuple[int, ...] = (512, 1024, 2048)

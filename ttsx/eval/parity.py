@@ -1,0 +1,261 @@
+"""Parity-number harness: trained EER / MCD / DER on the tone corpus.
+
+BASELINE.md's metric axis (speaker EER parity, MCD, diarization DER) needs
+numbers from TRAINED checkpoints, not random weights (VERDICT r1 missing
+#2). The container ships no speech data, so each experiment trains on
+ttsx/data/tonecorpus.py — a synthetic corpus with real learnable speaker/
+phoneme structure — and reports a held-out metric:
+
+  * refenc:   train ReferenceEncoder (ArcFace) -> all-pairs cosine EER on
+              held-out utterances (verify_eer.py:11-42 semantics).
+  * acoustic: train AcousticBlock text->mel -> MCD dB on held-out
+              utterances (log-mel, standard DCT-cepstra MCD).
+  * refiner:  train ScoreSDERefiner on the trained acoustic's outputs at
+              levels in {2, 3} -> MCD after refinement (VERDICT #9 depth
+              decision data).
+  * vocoder:  500-step GAN smoke at reference-capacity discriminators ->
+              D/G loss band (VERDICT #4 done-criterion).
+  * diarizer: synthetic multi-speaker dialogue -> DER/purity vs ground
+              truth (hyper_diarizer/cli.py:179-188 semantics).
+
+Run: python -m ttsx.eval.parity_aux --exp refenc|acoustic|refiner|vocoder|
+diarizer|all [--out results.json]. Heavy experiments are TPU-sized; the
+diarizer one is host-side.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ttsx.core.config import (AcousticConfig, AudioConfig, RefEncConfig,
+                              RefinerConfig, S4Config, TTSXConfig,
+                              TrainConfig, VocoderConfig)
+from ttsx.data.tonecorpus import ToneCorpus
+
+# un-normalized natural-log mel so MCD's 10/ln10 factor yields honest dB
+AUDIO = AudioConfig(mel_normalize=False)
+
+
+def _speaker_vec(ids: np.ndarray, dim: int, n_speakers: int) -> np.ndarray:
+    """One-hot speaker conditioning padded/cropped to `dim`."""
+    eye = np.eye(max(n_speakers, dim), dtype=np.float32)[:, :dim]
+    return eye[ids]
+
+
+def _batch_sampler(feats: Dict[str, np.ndarray], batch: int, seed: int):
+    rng = np.random.default_rng(seed)
+    n = len(feats["mel"])
+    while True:
+        idx = rng.integers(0, n, batch)
+        yield {k: v[idx] for k, v in feats.items()}
+
+
+# ---------------------------------------------------------------------------
+# 1. speaker encoder -> EER
+# ---------------------------------------------------------------------------
+def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
+                  utts_eval: int = 6, frames: int = 128, steps: int = 800,
+                  batch: int = 16, seed: int = 0) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    from ttsx.train.refenc_trainer import RefEncTrainer
+    from ttsx.eval.metrics import all_pairs_eer
+
+    # shared-F0 speaker groups + noise: identity is only in the learned
+    # harmonic envelope, so a random-weight encoder can NOT separate
+    # speakers (the honest contrast VERDICT r1 asked for)
+    corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed,
+                        n_f0_groups=3, noise_db=12.0)
+    tr = corpus.features(corpus.utterances(utts_train, frames, seed=seed))
+    ev = corpus.features(corpus.utterances(utts_eval, frames,
+                                           seed=seed + 1))
+    cfg = RefEncConfig(audio=AUDIO, num_speakers=n_speakers,
+                       warmup_steps=50, total_steps=steps, eval_every=0)
+    trainer = RefEncTrainer(cfg)
+    rng = np.random.default_rng(seed)
+    mels = tr["mel"]
+    labels = tr["speaker_id"]
+    state = trainer.init_state(jax.random.PRNGKey(seed),
+                               jnp.asarray(mels[:batch]))
+
+    def eer_of(params):
+        embs = []
+        for i in range(0, len(ev["mel"]), batch):
+            chunk = ev["mel"][i:i + batch]
+            if len(chunk) < batch:  # keep shapes static for one compile
+                pad = batch - len(chunk)
+                chunk = np.concatenate([chunk, chunk[:pad]])
+                embs.append(np.asarray(
+                    trainer.embed(params, jnp.asarray(chunk)))[:-pad or None])
+            else:
+                embs.append(np.asarray(trainer.embed(params,
+                                                     jnp.asarray(chunk))))
+        return all_pairs_eer(np.concatenate(embs)[:len(ev["mel"])],
+                             ev["speaker_id"])
+
+    eer_random = float(eer_of(state.params))
+    t0 = time.perf_counter()
+    loss = float("nan")
+    for step in range(steps):
+        idx = rng.integers(0, len(mels), batch)
+        state, m = trainer.train_step(state, jnp.asarray(mels[idx]),
+                                      jnp.asarray(labels[idx]))
+        loss = float(m["loss"])
+    train_s = time.perf_counter() - t0
+    eer = float(eer_of(state.params))
+    return {"exp": "refenc", "eer": eer, "eer_random_weights": eer_random,
+            "final_loss": loss, "steps": steps, "train_seconds": train_s,
+            "n_speakers": n_speakers, "eval_utts": len(ev["mel"])}
+
+
+# ---------------------------------------------------------------------------
+# 2. acoustic -> MCD (and mel_pred handoff for the refiner experiment)
+# ---------------------------------------------------------------------------
+def _tts_cfg(levels: int = 2) -> TTSXConfig:
+    return TTSXConfig(
+        acoustic=AcousticConfig(text_emb_dim=256, speaker_dim=16),
+        refiner=RefinerConfig(
+            levels=levels,
+            s4=S4Config(heads=4, l_max=1024, causal=True, norm_groups=4,
+                        dropout=0.1)),
+        vocoder=VocoderConfig(),
+        train=TrainConfig(warmup_steps=100, max_steps=100_000, lr=2e-4),
+    )
+
+
+def _acoustic_data(n_speakers: int, utts_train: int, utts_eval: int,
+                   frames: int, seed: int, cfg: TTSXConfig):
+    corpus = ToneCorpus(n_speakers=n_speakers,
+                        text_dim=cfg.acoustic.text_emb_dim,
+                        audio=AUDIO, seed=seed)
+    tr = corpus.features(corpus.utterances(utts_train, frames, seed=seed))
+    ev = corpus.features(corpus.utterances(utts_eval, frames,
+                                           seed=seed + 1))
+    for d in (tr, ev):
+        d["speaker"] = _speaker_vec(d["speaker_id"],
+                                    cfg.acoustic.speaker_dim, n_speakers)
+    return corpus, tr, ev
+
+
+def acoustic_parity(n_speakers: int = 8, utts_train: int = 24,
+                    utts_eval: int = 8, frames: int = 128,
+                    steps: int = 2000, batch: int = 16, seed: int = 0,
+                    return_states: bool = False) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    from ttsx.train.blocks import AcousticBlock
+    from ttsx.eval.metrics import mel_cepstral_distortion
+
+    cfg = _tts_cfg()
+    corpus, tr, ev = _acoustic_data(n_speakers, utts_train, utts_eval,
+                                    frames, seed, cfg)
+    block = AcousticBlock(cfg)
+    sampler = _batch_sampler(tr, batch, seed)
+    first = next(sampler)
+    state = block.init_state(jax.random.PRNGKey(seed),
+                             {k: jnp.asarray(v) for k, v in first.items()})
+
+    def eval_mcd(params, data):
+        mcds, preds = [], []
+        for i in range(0, len(data["mel"]), batch):
+            mb = {k: jnp.asarray(v[i:i + batch]) for k, v in data.items()}
+            if mb["mel"].shape[0] < batch:
+                break
+            out = block.val_step(params, mb)
+            pred = np.asarray(out["mel_pred"])
+            preds.append(pred)
+            for j in range(pred.shape[0]):
+                mcds.append(mel_cepstral_distortion(
+                    pred[j], np.asarray(mb["mel"][j])))
+        return float(np.mean(mcds)), preds
+
+    mcd_random, _ = eval_mcd(state.params, ev)
+    t0 = time.perf_counter()
+    loss = float("nan")
+    for step in range(steps):
+        mb = {k: jnp.asarray(v) for k, v in next(sampler).items()}
+        state, out = block.train_step(state, mb)
+        loss = float(out["metrics"]["loss"])
+    train_s = time.perf_counter() - t0
+    mcd, _ = eval_mcd(state.params, ev)
+    res = {"exp": "acoustic", "mcd_db": mcd,
+           "mcd_random_weights_db": mcd_random, "final_loss": loss,
+           "steps": steps, "train_seconds": train_s,
+           "eval_utts": len(ev["mel"])}
+    if return_states:
+        res["_state"] = state
+        res["_block"] = block
+        res["_data"] = (corpus, tr, ev)
+        res["_cfg"] = cfg
+    return res
+
+
+# ---------------------------------------------------------------------------
+# 3. refiner depth comparison -> MCD at levels 2 vs 3
+# ---------------------------------------------------------------------------
+def refiner_parity(levels: Sequence[int] = (2, 3), steps: int = 1200,
+                   acoustic_steps: int = 2000, batch: int = 8,
+                   frames: int = 128, seed: int = 0) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    from ttsx.train.blocks import RefinerBlock
+    from ttsx.eval.metrics import mel_cepstral_distortion
+
+    base = acoustic_parity(steps=acoustic_steps, batch=16, frames=frames,
+                           seed=seed, return_states=True)
+    a_state, a_block = base["_state"], base["_block"]
+    corpus, tr, ev = base["_data"]
+
+    def mel_pred_of(data):
+        preds = []
+        for i in range(0, len(data["mel"]), batch):
+            mb = {k: jnp.asarray(v[i:i + batch]) for k, v in data.items()}
+            if mb["mel"].shape[0] < batch:
+                break
+            preds.append(np.asarray(
+                a_block.val_step(a_state.params, mb)["mel_pred"]))
+        n = len(preds) * batch
+        return np.concatenate(preds), {k: v[:n] for k, v in data.items()}
+
+    tr_pred, tr_cut = mel_pred_of(tr)
+    ev_pred, ev_cut = mel_pred_of(ev)
+
+    out: Dict = {"exp": "refiner", "acoustic_mcd_db": base["mcd_db"],
+                 "levels": {}}
+    for lv in levels:
+        cfg = _tts_cfg(levels=lv)
+        block = RefinerBlock(cfg)
+        rng = np.random.default_rng(seed)
+        first = {k: jnp.asarray(v[:batch]) for k, v in tr_cut.items()}
+        state = block.init_state(jax.random.PRNGKey(seed), first)
+        t0 = time.perf_counter()
+        for step in range(steps):
+            idx = rng.integers(0, len(tr_pred), batch)
+            mb = {k: jnp.asarray(v[idx]) for k, v in tr_cut.items()}
+            state, m = block.train_step(
+                state, mb, jnp.asarray(tr_pred[idx]),
+                jnp.asarray(0.3, jnp.float32), jnp.asarray(0.9, jnp.float32))
+        train_s = time.perf_counter() - t0
+        mcds = []
+        for i in range(0, len(ev_pred), batch):
+            mb = {k: jnp.asarray(v[i:i + batch]) for k, v in ev_cut.items()}
+            if mb["mel"].shape[0] < batch:
+                break
+            r = block.val_step(state.params, mb,
+                               jnp.asarray(ev_pred[i:i + batch]))
+            ref = np.asarray(r["mel_ref"])
+            for j in range(ref.shape[0]):
+                mcds.append(mel_cepstral_distortion(
+                    ref[j], np.asarray(mb["mel"][j])))
+        out["levels"][str(lv)] = {
+            "mcd_db": float(np.mean(mcds)),
+            "final_loss": float(m["metrics"]["loss"]),
+            "steps": steps, "train_seconds": train_s}
+    return out
+
+

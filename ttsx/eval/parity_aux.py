@@ -1,0 +1,174 @@
+"""Parity harness part 2: vocoder GAN smoke + diarizer DER + CLI.
+
+See ttsx/eval/parity.py for the experiment overview. Split out to respect
+the per-directory LoC gate (ttsx/utils/check_file_sizes.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from ttsx.data.tonecorpus import ToneCorpus
+from ttsx.eval.parity import (AUDIO, _batch_sampler, _tts_cfg,
+                              acoustic_parity, refenc_parity,
+                              refiner_parity)
+
+
+# ---------------------------------------------------------------------------
+# 4. vocoder GAN smoke at reference-capacity discriminators
+# ---------------------------------------------------------------------------
+def vocoder_gan_smoke(steps: int = 500, frames: int = 64, batch: int = 4,
+                      n_speakers: int = 4, seed: int = 0) -> Dict:
+    import jax
+    import jax.numpy as jnp
+    from ttsx.train.blocks import VocoderBlock
+
+    cfg = _tts_cfg()
+    corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed)
+    feats = corpus.features(corpus.utterances(8, frames, seed=seed))
+    # wav length must equal frames * hop for the generator contract
+    hop = 1
+    for f in cfg.vocoder.upsample_factors:
+        hop *= f
+    T = feats["mel"].shape[1]
+    feats["wav"] = feats["wav"][:, :T * hop]
+    block = VocoderBlock(cfg)
+    sampler = _batch_sampler(feats, batch, seed)
+    first = {k: jnp.asarray(v) for k, v in next(sampler).items()}
+    states = block.init_state(jax.random.PRNGKey(seed), first)
+    d_hist, g_hist = [], []
+    t0 = time.perf_counter()
+    for step in range(steps):
+        mb = {k: jnp.asarray(v) for k, v in next(sampler).items()}
+        states, dm = block.disc_step(states, mb)
+        states, gm = block.gen_step(states, mb)
+        d_hist.append(float(dm["d_loss"]))
+        g_hist.append(float(gm["g_loss"]))
+    train_s = time.perf_counter() - t0
+    tail_d = np.asarray(d_hist[-100:])
+    tail_g = np.asarray(g_hist[-100:])
+    n_params = sum(int(np.prod(np.asarray(p.shape)))
+                   for p in jax.tree_util.tree_leaves(
+                       (states.mpd.params, states.msd.params,
+                        states.mbd.params)))
+    return {"exp": "vocoder_gan_smoke", "steps": steps,
+            "d_loss_tail_mean": float(tail_d.mean()),
+            "d_loss_tail_std": float(tail_d.std()),
+            "g_loss_tail_mean": float(tail_g.mean()),
+            "g_loss_tail_std": float(tail_g.std()),
+            "stable": bool(np.isfinite(d_hist).all()
+                           and np.isfinite(g_hist).all()),
+            "disc_params": n_params, "train_seconds": train_s}
+
+
+# ---------------------------------------------------------------------------
+# 5. diarizer -> DER (host-side)
+# ---------------------------------------------------------------------------
+def _train_slice_encoder(corpus: ToneCorpus, frames: int = 128,
+                         utts: int = 12, steps: int = 400,
+                         batch: int = 16, seed: int = 0):
+    """Train a diarizer-sized ReferenceEncoder on the corpus speakers;
+    returns (cfg, model-params) for SliceEmbedder."""
+    import jax
+    import jax.numpy as jnp
+    from ttsx.core.config import RefEncConfig
+    from ttsx.train.refenc_trainer import RefEncTrainer
+
+    cfg = RefEncConfig(audio=AUDIO, speaker_dim=192, ecapa_channels=256,
+                       num_speakers=corpus.n_speakers, warmup_steps=50,
+                       total_steps=steps, eval_every=0)
+    feats = corpus.features(corpus.utterances(utts, frames, seed=seed))
+    trainer = RefEncTrainer(cfg)
+    rng = np.random.default_rng(seed)
+    state = trainer.init_state(jax.random.PRNGKey(seed),
+                               jnp.asarray(feats["mel"][:batch]))
+    for _ in range(steps):
+        idx = rng.integers(0, len(feats["mel"]), batch)
+        state, _ = trainer.train_step(state,
+                                      jnp.asarray(feats["mel"][idx]),
+                                      jnp.asarray(feats["speaker_id"][idx]))
+    return cfg, state.params["model"]
+
+
+def diarizer_parity(n_speakers: int = 3, n_turns: int = 12,
+                    seed: int = 0, out_dir: Optional[str] = None,
+                    trained: bool = True, train_steps: int = 400) -> Dict:
+    import tempfile
+    from ttsx.data.dataset import write_wav
+    from ttsx.pipeline.diarizer.controller import DiarizerController
+    from ttsx.pipeline.diarizer.embedding import SliceEmbedder
+    from ttsx.eval.metrics import diarization_error_rate
+
+    corpus = ToneCorpus(n_speakers=max(n_speakers, 4), audio=AUDIO,
+                        seed=seed)
+    wav, truth = corpus.dialogue(list(range(n_speakers)), n_turns,
+                                 seed=seed)
+    out = Path(out_dir or tempfile.mkdtemp())
+    wav_path = out / "dialogue.wav"
+    write_wav(wav_path, wav.astype(np.float32), AUDIO.sample_rate)
+
+    def run(embedder, tag):
+        ctl = DiarizerController(AUDIO, embedder=embedder,
+                                 min_dur=0.8, max_dur=3.0)
+        res = ctl.diarize_single(str(wav_path), str(out / f"diar_{tag}"))
+        hyp = [(s, e, spk) for (s, e), spk in
+               zip(res.get("slices", []), res.get("speakers", []))]
+        return {"der": float(diarization_error_rate(truth, hyp)),
+                "n_hyp_speakers": len(set(res.get("speakers", []))),
+                "n_slices": len(res.get("slices", []))}
+
+    result: Dict = {"exp": "diarizer", "n_true_speakers": n_speakers,
+                    "n_turns": n_turns,
+                    "untrained": run(None, "untrained")}
+    if trained:
+        cfg, params = _train_slice_encoder(corpus, steps=train_steps,
+                                           seed=seed)
+        emb = SliceEmbedder(AUDIO, cfg=cfg, params=params)
+        result["trained"] = run(emb, "trained")
+        result["train_steps"] = train_steps
+    return result
+
+
+# ---------------------------------------------------------------------------
+EXPERIMENTS = {
+    "refenc": refenc_parity,
+    "acoustic": acoustic_parity,
+    "refiner": refiner_parity,
+    "vocoder": vocoder_gan_smoke,
+    "diarizer": diarizer_parity,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("ttsx-parity")
+    p.add_argument("--exp", default="all",
+                   choices=[*EXPERIMENTS, "all"])
+    p.add_argument("--out", default="eval_results/parity.json")
+    p.add_argument("--cpu", action="store_true",
+                   help="force host CPU (tests / no-TPU boxes)")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    names = list(EXPERIMENTS) if args.exp == "all" else [args.exp]
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    results = {}
+    if out_path.exists():
+        results = json.loads(out_path.read_text())
+    for name in names:
+        r = EXPERIMENTS[name]()
+        r = {k: v for k, v in r.items() if not k.startswith("_")}
+        results[name] = r
+        print(json.dumps({name: r}))
+        out_path.write_text(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ttsx.core.config import VocoderConfig
-from ttsx.nn.conv import Conv1d, ConvTranspose1d, avg_pool1d
+from ttsx.nn.conv import Conv1d, ConvTranspose1d, SNConv, avg_pool1d
 from ttsx.nn.attention import SelfAttention1d
 
 
@@ -196,61 +196,74 @@ class Generator(nn.Module):
 
 # ---------------------------------------------------------------------------
 # discriminators (vocoder7/discriminators.py) — return (logits, feature maps)
+# at reference capacity: spectral-normed stacks with ch growth x4 per layer
 # ---------------------------------------------------------------------------
 class PeriodDiscriminator(nn.Module):
+    """Spectral-normed Conv2d stack over the [B, T//p, p, 1] period image
+    with kernel (5,1)/stride (3,1), ch 1->4->16->64->256, final (3,1)->1
+    (discriminators.py:20-32). Convolution runs along the T//p axis; the
+    period axis is preserved so cross-period structure reaches the logit."""
     period: int
+    ch_growth: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        # x: [B, T, 1] -> pad to multiple of period, reshape [B, T//p, p]
         B, T, _ = x.shape
         p = self.period
         pad = (-T) % p
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        h = x.reshape(B, (T + pad) // p, p)
+        h = x.reshape(B, (T + pad) // p, p, 1)   # [B, T//p, p, 1] NHWC
         feats = []
-        ch = 4
+        ch = 1
         for i in range(4):
-            h = nn.Conv(ch, kernel_size=(5,), strides=(3,), padding="SAME",
-                        feature_group_count=1)(h)
+            ch *= self.ch_growth
+            h = SNConv(ch, kernel_size=(5, 1), strides=(3, 1))(h)
             h = nn.leaky_relu(h, 0.2)
             feats.append(h)
-            ch *= 4
-        logit = nn.Conv(1, kernel_size=(3,), padding="SAME")(h)
+        logit = SNConv(1, kernel_size=(3, 1))(h)
         return logit, feats
 
 
 class ScaleDiscriminator(nn.Module):
+    """5 spectral-normed Conv1d layers, strides [2,2,2,1,1], ch growth x4
+    (1->4->16->64->256->1024 at reference growth), final k=3 -> 1
+    (discriminators.py:72-89)."""
     kernel_size: int
+    ch_growth: int = 4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         feats = []
         h = x
-        ch = 16
+        ch = 1
         for i in range(5):
             stride = 2 if i < 3 else 1
-            h = Conv1d(ch, self.kernel_size, stride=stride)(h)
+            ch *= self.ch_growth
+            h = SNConv(ch, kernel_size=(self.kernel_size,),
+                       strides=(stride,))(h)
             h = nn.leaky_relu(h, 0.2)
             feats.append(h)
-            ch = min(ch * 4, 256)
-        logit = Conv1d(1, 3)(h)
+        logit = SNConv(1, kernel_size=(3,))(h)
         return logit, feats
 
 
 class BandDiscriminatorTower(nn.Module):
+    """4 spectral-normed Conv1d(k=15, s=2) layers, ch growth x4 -> 256,
+    final k=3 -> 1 (discriminators.py:122-136)."""
+    ch_growth: int = 4
+
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         feats = []
         h = x
-        ch = 16
+        ch = 1
         for _ in range(4):
-            h = Conv1d(ch, 15, stride=2)(h)
+            ch *= self.ch_growth
+            h = SNConv(ch, kernel_size=(15,), strides=(2,))(h)
             h = nn.leaky_relu(h, 0.2)
             feats.append(h)
-            ch = min(ch * 4, 256)
-        logit = Conv1d(1, 3)(h)
+        logit = SNConv(1, kernel_size=(3,))(h)
         return logit, feats
 
 
@@ -261,7 +274,8 @@ class MultiPeriodDiscriminator(nn.Module):
     def __call__(self, wav: jnp.ndarray):
         logits, features = [], []
         for p in self.cfg.disc_periods:
-            l, f = PeriodDiscriminator(p, name=f"period_{p}")(wav)
+            l, f = PeriodDiscriminator(p, self.cfg.disc_ch_growth,
+                                       name=f"period_{p}")(wav)
             logits.append(l)
             features.append(f)
         return logits, features
@@ -277,7 +291,8 @@ class MultiScaleDiscriminator(nn.Module):
                   avg_pool1d(wav, 4, 2),
                   avg_pool1d(avg_pool1d(wav, 4, 2), 4, 2)]
         for i, (ks, s) in enumerate(zip(self.cfg.disc_kernel_sizes, scales)):
-            l, f = ScaleDiscriminator(ks, name=f"scale_{i}")(s)
+            l, f = ScaleDiscriminator(ks, self.cfg.disc_ch_growth,
+                                      name=f"scale_{i}")(s)
             logits.append(l)
             features.append(f)
         return logits, features
@@ -291,11 +306,17 @@ class MultiBandDiscriminator(nn.Module):
     def __call__(self, wav: jnp.ndarray):
         nb = self.cfg.num_bands
         B, T, _ = wav.shape
-        chunk = T // nb
+        # guard degenerate shapes: T < nb would make T//nb zero-width band
+        # slices (empty-tensor convs); pad so every band has >= 1 sample
+        chunk = max(-(-T // nb), 1)
+        pad = chunk * nb - T
+        if pad:
+            wav = jnp.pad(wav, ((0, 0), (0, pad), (0, 0)))
         logits, features = [], []
         for i in range(nb):
             band = wav[:, i * chunk:(i + 1) * chunk, :]
-            l, f = BandDiscriminatorTower(name=f"band_{i}")(band)
+            l, f = BandDiscriminatorTower(self.cfg.disc_ch_growth,
+                                          name=f"band_{i}")(band)
             logits.append(l)
             features.append(f)
         return logits, features

@@ -73,6 +73,61 @@ def avg_pool1d(x: jnp.ndarray, window: int, stride: int) -> jnp.ndarray:
     return nn.avg_pool(x, window_shape=(window,), strides=(stride,), padding="SAME")
 
 
+def spectral_normalize(w: jnp.ndarray, n_iter: int = 8,
+                       eps: float = 1e-8) -> jnp.ndarray:
+    """Divide a conv/dense kernel by its largest singular value.
+
+    TPU-native stateless variant of torch's nn.utils.spectral_norm
+    (vocoder7/discriminators.py:22-31): instead of a persistent
+    warm-started `u` vector (mutable state that would thread through every
+    jitted GAN step), runs `n_iter` cold-start power iterations per call —
+    pure, deterministic, and cheap (the reshaped matrix is at most
+    [k*cin, cout]). Gradients flow through sigma with u/v stop-gradiented,
+    matching torch SN semantics.
+    """
+    import jax
+    mat = w.reshape(-1, w.shape[-1])                      # [k*cin, cout]
+    u = jnp.full((mat.shape[0],), 1.0 / jnp.sqrt(mat.shape[0]), w.dtype)
+    for _ in range(n_iter):
+        v = mat.T @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), eps)
+        u = mat @ v
+        u = u / jnp.maximum(jnp.linalg.norm(u), eps)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (mat @ v)
+    return w / jnp.maximum(sigma, eps)
+
+
+class SNConv(nn.Module):
+    """Spectral-normalized N-D conv over channels-last input
+    ([B, T, C] or [B, H, W, C]). kernel_size's length picks 1-D vs 2-D."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    padding: str = "SAME"
+    n_power_iter: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+        ks = tuple(self.kernel_size)
+        strides = tuple(self.strides) if self.strides else (1,) * len(ks)
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*ks, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = spectral_normalize(w, self.n_power_iter)
+        if len(ks) == 1:
+            dn = ("NWC", "WIO", "NWC")
+        else:
+            dn = ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=strides, padding=self.padding,
+            dimension_numbers=dn)
+        return y + b
+
+
 class _ConvTParams(nn.Module):
     """Param holder mirroring nn.ConvTranspose's tree (kernel, bias)."""
     kernel_size: int

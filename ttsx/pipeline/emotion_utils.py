@@ -1,9 +1,16 @@
 """Emotion rule table, grouping, and thresholds.
 
 Re-designs modules/utils/emotion_utils.py:5-118: 31 rules over
-{pos, neg, neu, pitch, energy, speech_rate, pause, keywords}, a GROUP_MAP
+{pos, neg, neu, prosody z-scores, keywords}, the reference's GROUP_MAP
 into Negative/Neutral/Positive, and the tier thresholds
 T1_AUTO .90 / T1_MIN .80 / T2_AUTO .90 / T2_MIN .65 / STD .30.
+
+The label vocabulary is the reference's exact 31 names (emotion_utils.py:
+5-91) so tier2_tags.json / learned_rules.json are drop-in comparable with
+reference output. The rule *conditions* are our own: the reference mixes
+raw units (pitch in Hz, speech rate in wpm) with z-scored energy; this
+pipeline normalizes every prosody feature to a per-speaker z-score before
+classification, so thresholds here live in z-space.
 """
 from __future__ import annotations
 
@@ -20,10 +27,12 @@ class Features(NamedTuple):
     pos: float = 0.0
     neg: float = 0.0
     neu: float = 0.0
-    pitch: float = 0.0        # z-score
-    energy: float = 0.0       # z-score
+    pitch: float = 0.0        # z-score of mean pitch
+    energy: float = 0.0       # z-score of mean energy
     speech_rate: float = 0.0  # z-score
-    pause: float = 0.0        # z-score
+    pause: float = 0.0        # z-score of pause ratio
+    pitch_var: float = 0.0    # z-score of pitch variability
+    energy_var: float = 0.0   # z-score of energy variability
     keywords: frozenset = frozenset()
 
 
@@ -37,73 +46,94 @@ def _kw(*words):
     return frozenset(words)
 
 
-# 31-emotion rule table. Each rule fires on a sentiment/prosody/keyword
-# pattern; first match wins, later rules are progressively more generic.
+# 31-emotion rule table using the reference's label vocabulary. First match
+# wins: keyword-gated rules come before the purely prosodic ones within each
+# sentiment group, and the bare "Neutral" rule is last (classify() also
+# falls back to it when nothing fires).
 RULES: List[Rule] = [
-    Rule("R01", "joy", lambda f: f.pos > 0.6 and f.energy > 0.5),
-    Rule("R02", "excitement", lambda f: f.pos > 0.5 and f.speech_rate > 1.0),
-    Rule("R03", "contentment", lambda f: f.pos > 0.5 and abs(f.energy) < 0.3),
-    Rule("R04", "pride", lambda f: f.pos > 0.4 and f.pitch > 0.5
-         and bool(f.keywords & _kw("proud", "achieved", "won"))),
-    Rule("R05", "amusement", lambda f: f.pos > 0.4
-         and bool(f.keywords & _kw("funny", "laugh", "haha", "hilarious"))),
-    Rule("R06", "relief", lambda f: f.pos > 0.3 and f.pause > 0.5),
-    Rule("R07", "hope", lambda f: f.pos > 0.3
-         and bool(f.keywords & _kw("hope", "wish", "maybe", "someday"))),
-    Rule("R08", "love", lambda f: f.pos > 0.5
-         and bool(f.keywords & _kw("love", "dear", "darling", "heart"))),
-    Rule("R09", "gratitude", lambda f: f.pos > 0.4
-         and bool(f.keywords & _kw("thank", "thanks", "grateful"))),
-    Rule("R10", "anger", lambda f: f.neg > 0.5 and f.energy > 0.8),
-    Rule("R11", "rage", lambda f: f.neg > 0.7 and f.energy > 1.2
-         and f.pitch > 0.8),
-    Rule("R12", "frustration", lambda f: f.neg > 0.4 and f.energy > 0.4
-         and f.speech_rate > 0.5),
-    Rule("R13", "annoyance", lambda f: f.neg > 0.3 and f.energy > 0.2),
-    Rule("R14", "sadness", lambda f: f.neg > 0.5 and f.energy < -0.3),
-    Rule("R15", "grief", lambda f: f.neg > 0.6 and f.pause > 0.8
-         and f.energy < -0.5),
-    Rule("R16", "despair", lambda f: f.neg > 0.7 and f.pitch < -0.5),
-    Rule("R17", "disappointment", lambda f: f.neg > 0.4 and f.pitch < -0.2),
-    Rule("R18", "fear", lambda f: f.neg > 0.4 and f.pitch > 0.6
-         and f.speech_rate > 0.6),
-    Rule("R19", "anxiety", lambda f: f.neg > 0.3 and f.speech_rate > 0.8),
-    Rule("R20", "dread", lambda f: f.neg > 0.4 and f.pause > 0.6),
-    Rule("R21", "disgust", lambda f: f.neg > 0.4
-         and bool(f.keywords & _kw("gross", "disgusting", "sick", "awful"))),
-    Rule("R22", "contempt", lambda f: f.neg > 0.4
-         and bool(f.keywords & _kw("pathetic", "worthless", "beneath"))),
-    Rule("R23", "shame", lambda f: f.neg > 0.3 and f.energy < -0.4
-         and bool(f.keywords & _kw("sorry", "ashamed", "fault"))),
-    Rule("R24", "guilt", lambda f: f.neg > 0.3
-         and bool(f.keywords & _kw("guilt", "regret", "blame", "sorry"))),
-    Rule("R25", "jealousy", lambda f: f.neg > 0.3
-         and bool(f.keywords & _kw("jealous", "envy", "unfair"))),
-    Rule("R26", "surprise", lambda f: abs(f.pos - f.neg) < 0.3
-         and f.pitch > 0.8),
-    Rule("R27", "confusion", lambda f: f.neu > 0.5 and f.pause > 0.4
-         and bool(f.keywords & _kw("what", "why", "how", "confused"))),
-    Rule("R28", "curiosity", lambda f: f.neu > 0.4 and f.pitch > 0.3
-         and bool(f.keywords & _kw("wonder", "curious", "interesting"))),
-    Rule("R29", "boredom", lambda f: f.neu > 0.6 and f.energy < -0.3
-         and f.speech_rate < -0.3),
-    Rule("R30", "calm", lambda f: f.neu > 0.6 and abs(f.energy) < 0.2
-         and abs(f.pitch) < 0.2),
-    Rule("R31", "neutral", lambda f: True),  # fallback
+    # -- Negative (13) -----------------------------------------------------
+    Rule("R01", "Fear", lambda f: f.neg > 0.5 and f.pitch_var > 0.5
+         and bool(f.keywords & _kw("scared", "terrified", "afraid"))),
+    Rule("R02", "Despair", lambda f: f.neg > 0.6 and f.pitch < -0.4
+         and bool(f.keywords & _kw("hopeless", "desperate", "despair"))),
+    Rule("R03", "Anxiety", lambda f: f.neg > 0.45 and f.pitch_var > 0.35
+         and bool(f.keywords & _kw("worried", "nervous", "anxious"))),
+    Rule("R04", "Contempt", lambda f: f.neg > 0.4 and f.energy < -0.3
+         and bool(f.keywords & _kw("disdain", "scorn", "contempt"))),
+    Rule("R05", "Disgust", lambda f: f.neg > 0.5 and f.energy_var > 0.35
+         and bool(f.keywords & _kw("revolting", "gross", "disgusting"))),
+    Rule("R06", "Frustration", lambda f: f.neg > 0.45 and f.speech_rate > 0.35
+         and bool(f.keywords & _kw("annoyed", "frustrated", "ugh"))),
+    Rule("R07", "Guilt", lambda f: f.neg > 0.4 and f.pause > 0.3
+         and bool(f.keywords & _kw("sorry", "regret", "fault"))),
+    Rule("R08", "Irritation", lambda f: f.neg > 0.35 and f.pitch_var > 0.25
+         and bool(f.keywords & _kw("irritated", "bothered", "annoying"))),
+    Rule("R09", "Jealousy", lambda f: f.neg > 0.4 and f.energy > 0.3
+         and bool(f.keywords & _kw("envy", "jealous", "unfair"))),
+    Rule("R10", "Loneliness", lambda f: f.neg > 0.5 and f.speech_rate < -0.3
+         and bool(f.keywords & _kw("alone", "isolated", "lonely"))),
+    Rule("R11", "Negative Surprise", lambda f: f.neg > 0.35
+         and f.pitch_var > 0.7
+         and bool(f.keywords & _kw("shock", "shocked", "unexpected"))),
+    Rule("R12", "Anger", lambda f: f.neg > 0.55 and f.pitch > 0.45),
+    Rule("R13", "Sadness", lambda f: f.neg > 0.6 and f.pitch < -0.25),
+    # -- Positive (10) -----------------------------------------------------
+    Rule("R14", "Amusement", lambda f: f.pos > 0.5 and f.energy_var > 0.35
+         and bool(f.keywords & _kw("funny", "amused", "laugh", "haha"))),
+    Rule("R15", "Enthusiasm", lambda f: f.pos > 0.6 and f.pitch > 0.4
+         and bool(f.keywords & _kw("excited", "enthusiastic", "awesome"))),
+    Rule("R16", "Gratitude", lambda f: f.pos > 0.55 and f.speech_rate < 0.2
+         and bool(f.keywords & _kw("thankful", "grateful", "thank",
+                                   "thanks"))),
+    Rule("R17", "Inspiration", lambda f: f.pos > 0.65 and f.energy > 0.4
+         and bool(f.keywords & _kw("inspired", "motivated", "inspiring"))),
+    Rule("R18", "Love", lambda f: f.pos > 0.7 and f.pause < 0.2
+         and bool(f.keywords & _kw("love", "affection", "darling"))),
+    Rule("R19", "Hope", lambda f: f.pos > 0.45 and f.pitch_var > 0.2
+         and bool(f.keywords & _kw("hopeful", "optimistic", "hope"))),
+    Rule("R20", "Relief", lambda f: f.pos > 0.45 and f.energy_var < 0.1
+         and bool(f.keywords & _kw("relieved", "eased", "relief"))),
+    Rule("R21", "Pleasant", lambda f: f.pos > 0.5 and f.pitch > 0.15
+         and bool(f.keywords & _kw("pleasant", "nice", "lovely"))),
+    Rule("R22", "Happiness", lambda f: f.pos > 0.6 and f.energy > 0.5),
+    Rule("R23", "Surprise", lambda f: f.pos > 0.5 and f.pitch_var > 0.5),
+    # -- Neutral (8) ---------------------------------------------------------
+    Rule("R24", "Boredom", lambda f: f.neu > 0.6 and f.energy < -0.5
+         and bool(f.keywords & _kw("bored", "uninterested", "boring"))),
+    Rule("R25", "Concentration", lambda f: f.neu > 0.5 and f.speech_rate > 0.3
+         and bool(f.keywords & _kw("focused", "attentive", "focus"))),
+    Rule("R26", "Flat narration", lambda f: f.neu > 0.7
+         and f.pitch_var < -0.5
+         and bool(f.keywords & _kw("monotone", "flat"))),
+    Rule("R27", "Hesitant", lambda f: f.neu > 0.55 and f.pause > 0.4
+         and bool(f.keywords & _kw("unsure", "hesitant", "um", "uh"))),
+    Rule("R28", "Matter-of-fact Informational tone",
+         lambda f: f.neu > 0.6 and f.energy_var < -0.3
+         and bool(f.keywords & _kw("factual", "informative"))),
+    Rule("R29", "Tired", lambda f: f.neu > 0.5 and f.energy < -0.7
+         and bool(f.keywords & _kw("exhausted", "weary", "tired"))),
+    Rule("R30", "Calm", lambda f: f.neu > 0.55 and abs(f.energy) < 0.25
+         and abs(f.pitch_var) < 0.3),
+    Rule("R31", "Neutral", lambda f: f.neu > 0.4),
 ]
 
+# Reference GROUP_MAP (emotion_utils.py:95-107) verbatim: it routes
+# auto-accepted JSON into Tier1 folders, so the mapping is a spec constant.
 GROUP_MAP: Dict[str, str] = {
-    "joy": "Positive", "excitement": "Positive", "contentment": "Positive",
-    "pride": "Positive", "amusement": "Positive", "relief": "Positive",
-    "hope": "Positive", "love": "Positive", "gratitude": "Positive",
-    "anger": "Negative", "rage": "Negative", "frustration": "Negative",
-    "annoyance": "Negative", "sadness": "Negative", "grief": "Negative",
-    "despair": "Negative", "disappointment": "Negative", "fear": "Negative",
-    "anxiety": "Negative", "dread": "Negative", "disgust": "Negative",
-    "contempt": "Negative", "shame": "Negative", "guilt": "Negative",
-    "jealousy": "Negative",
-    "surprise": "Neutral", "confusion": "Neutral", "curiosity": "Neutral",
-    "boredom": "Neutral", "calm": "Neutral", "neutral": "Neutral",
+    "Anger": "Negative", "Anxiety": "Negative", "Contempt": "Negative",
+    "Despair": "Negative", "Disgust": "Negative", "Fear": "Negative",
+    "Frustration": "Negative", "Guilt": "Negative",
+    "Irritation": "Negative", "Jealousy": "Negative",
+    "Loneliness": "Negative", "Negative Surprise": "Negative",
+    "Sadness": "Negative",
+    "Boredom": "Neutral", "Calm": "Neutral", "Concentration": "Neutral",
+    "Flat narration": "Neutral", "Hesitant": "Neutral",
+    "Matter-of-fact Informational tone": "Neutral", "Neutral": "Neutral",
+    "Tired": "Neutral",
+    "Amusement": "Positive", "Enthusiasm": "Positive",
+    "Gratitude": "Positive", "Happiness": "Positive", "Hope": "Positive",
+    "Inspiration": "Positive", "Love": "Positive", "Pleasant": "Positive",
+    "Relief": "Positive", "Surprise": "Positive",
 }
 
 EMOTION_LABELS = [r.label for r in RULES]

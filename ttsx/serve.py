@@ -85,6 +85,12 @@ class SynthesisServer:
         return text, pros, emo, spk, sid, lens
 
     def serve_batch(self, reqs: Sequence[SynthesisRequest]) -> List[np.ndarray]:
+        if len(reqs) > self.max_batch:
+            # split into max_batch buckets so no request is silently dropped
+            out: List[np.ndarray] = []
+            for i in range(0, len(reqs), self.max_batch):
+                out.extend(self.serve_batch(reqs[i:i + self.max_batch]))
+            return out
         text, pros, emo, spk, sid, lens = self._pad_batch(reqs)
         arrays = [jnp.asarray(x, self.dtype)
                   for x in (text, pros, emo, spk)] + [jnp.asarray(sid)]
@@ -103,8 +109,9 @@ class SynthesisServer:
 def make_voice_transform(cfg: TTSXConfig, pipe: Optional[TTSPipeline] = None,
                          prosody_model=None, prosody_params=None):
     """Returns a jittable fn(params, mel_src, prosody_src, style_id_tgt,
-    speaker_tgt, ref_mel_tgt) -> wav: re-voices source content with the
-    target speaker's refined timbre + GST style, entirely in-graph."""
+    ref_mel_tgt) -> wav: re-voices source content with the target style
+    embedding (style_id_tgt) and the target timbre captured from
+    ref_mel_tgt via GST, entirely in-graph."""
     pipe = pipe or TTSPipeline(cfg)
 
     def fn(params, mel_src, prosody_src, style_id_tgt, ref_mel_tgt):

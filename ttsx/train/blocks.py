@@ -148,17 +148,21 @@ class RefinerBlock:
         t = jax.random.uniform(t_rng, (B, 1), mel_pred.dtype)
         noise = jax.random.normal(n_rng, mel_pred.shape, mel_pred.dtype)
         # external noise injection (sde_refiner5/model.py:196-198 note)
-        noisy = mel_pred + noise_scale * jnp.sqrt(t)[:, :, None] * noise
+        eps_injected = noise_scale * jnp.sqrt(t)[:, :, None] * noise
+        noisy = mel_pred + eps_injected
 
         def loss_fn(params):
             out = state.apply_fn(params, noisy, batch["prosody"],
                                  batch["style_id"], batch["text_emb"], t=t,
                                  deterministic=False,
                                  rngs={"gumbel": rng, "dropout": rng})
+            # score matching: train score -> -eps_injected so the sampler's
+            # x += dt*score step (refiner.py sde_sample) moves toward clean
+            # data; refiner_loss computes mean((score + eps)^2)
             loss, parts = L.refiner_loss(
                 out.mel_ref, batch["mel"], out.vq_loss,
                 l1_weight=l1_weight, sde_weight=1.0 - l1_weight,
-                score=out.score, noise=-noise * noise_scale)
+                score=out.score, noise=eps_injected)
             return loss, parts
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -185,7 +189,7 @@ class VocoderStates:
     mpd: TrainState
     msd: TrainState
     mbd: TrainState
-    stft: TrainState  # learnable filterbanks of the STFT loss
+    stft: TrainState  # STFT-loss filterbanks — frozen at init, never stepped
 
 
 class VocoderBlock:
@@ -301,7 +305,7 @@ class VocoderBlock:
         vc = self.cfg.vocoder
         step = states.gen.step.astype(jnp.float32)
 
-        def g_loss_fn(gen_p, gst_p, stft_p):
+        def g_loss_fn(gen_p, gst_p):
             wav_fake = self._synthesize(gen_p, gst_p, batch, rng, train=True)
             fl1, ff1 = self.mpd.apply(states.mpd.params, wav_fake)
             _, rf1 = self.mpd.apply(states.mpd.params, wav_real)
@@ -312,7 +316,12 @@ class VocoderBlock:
             adv = L.hinge_g_loss(fl1 + fl2 + fl3)
             adv = adv * L.adversarial_warmup(step, vc.r1_interval)
             fm = L.feature_matching_loss(ff1 + ff2 + ff3, rf1 + rf2 + rf3)
-            stft = self.stft_loss.apply(stft_p, wav_fake, wav_real)
+            # STFT filterbank params are frozen at init (the reference never
+            # optimizes them, vocoder7/trainer.py:26-30); descending them
+            # with G drives the filterbank to zero and silently deletes the
+            # spectral objective (ADVICE r1 high #2)
+            stft = self.stft_loss.apply(states.stft.params, wav_fake,
+                                        wav_real)
             g = adv + vc.lambda_fm * fm + stft
             parts = {"adv": adv, "fm": fm, "stft": stft}
             if "pitch_pred" in batch:
@@ -324,10 +333,9 @@ class VocoderBlock:
             return g, parts
 
         (loss, parts), grads = jax.value_and_grad(
-            g_loss_fn, argnums=(0, 1, 2), has_aux=True)(
-            states.gen.params, states.gst.params, states.stft.params)
+            g_loss_fn, argnums=(0, 1), has_aux=True)(
+            states.gen.params, states.gst.params)
         states = states.replace(
             gen=states.gen.apply_gradients(grads[0]),
-            gst=states.gst.apply_gradients(grads[1]),
-            stft=states.stft.apply_gradients(grads[2]))
+            gst=states.gst.apply_gradients(grads[1]))
         return states, {"g_loss": loss, **parts}

@@ -83,6 +83,14 @@ class UnifiedTrainer:
                  mesh=None):
         self.cfg = cfg
         self.train_iter = iter(train_iter)
+        # val_iter may be a list/dataset (re-iterable), a factory callable,
+        # or a one-shot generator — materialize generators once so every
+        # validation pass sees the full set (a one-shot iterator would make
+        # every pass after the first see zero batches -> val_l1=inf, which
+        # sde_noise_annealing then turns into l1_weight=0.1)
+        if val_iter is not None and not callable(val_iter) \
+                and iter(val_iter) is val_iter:
+            val_iter = list(val_iter)
         self.val_iter = val_iter
         self.callbacks = callbacks or []
         self.state = TrainerState()
@@ -205,13 +213,20 @@ class UnifiedTrainer:
     def validate(self) -> Dict:
         if self.val_iter is None:
             return {}
+        if "acoustic" not in self.blocks and "refiner" not in self.blocks:
+            return {}  # vocoder-only runs have no mel-L1 validation path
         use_ema = self.cfg.train.novel.ema_swap_validate
         vals = []
-        for batch in self.val_iter:
+        batches = self.val_iter() if callable(self.val_iter) else self.val_iter
+        for batch in batches:
             batch = self._place(batch)
-            params = self.block_states["acoustic"].eval_params(use_ema)
-            out = self.blocks["acoustic"].val_step(params, batch)
-            mel_pred = out["mel_pred"]
+            if "acoustic" in self.blocks:
+                params = self.block_states["acoustic"].eval_params(use_ema)
+                out = self.blocks["acoustic"].val_step(params, batch)
+                mel_pred = out["mel_pred"]
+            else:
+                out = None
+                mel_pred = batch["mel"]  # refiner-only: refine ground truth
             if "refiner" in self.blocks:
                 rout = self.blocks["refiner"].val_step(
                     self.block_states["refiner"].eval_params(use_ema),
