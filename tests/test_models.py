@@ -225,3 +225,41 @@ def test_emotion_classifier():
     probs = m.apply(p, x)
     assert probs.shape == (B, 6)
     assert ((np.asarray(probs) >= 0) & (np.asarray(probs) <= 1)).all()
+
+
+def test_residual_vq_fidelity_compounds():
+    """HierVQ is residual quantization: each stage must reduce the
+    reconstruction error of the stage before it (the reference's chained
+    re-quantization adds nothing — see ttsx/nn/vq.py)."""
+    import jax
+    import jax.numpy as jnp
+    from ttsx.nn.vq import HierVQ
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 8))
+    errs = []
+    for stages in (1, 2, 3):
+        vq = HierVQ(dims=(8,) * stages, codes=(64,) * stages)
+        params = vq.init(jax.random.PRNGKey(1), x)
+        out, loss = vq.apply(params, x)
+        errs.append(float(jnp.mean((out - x) ** 2)))
+        assert float(loss) >= 0
+    assert errs[1] < errs[0] and errs[2] < errs[1]
+
+
+def test_vq_straight_through_gradient():
+    import jax
+    import jax.numpy as jnp
+    from ttsx.nn.vq import HierVQ
+
+    vq = HierVQ(dims=(8, 8), codes=(32, 32))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8))
+    params = vq.init(jax.random.PRNGKey(1), x)
+
+    def f(x):
+        out, _ = vq.apply(params, x)
+        return jnp.sum(out * 2.0)
+
+    g = jax.grad(f)(x)
+    # straight-through: d(out)/d(x) == identity
+    assert jnp.allclose(g, 2.0)

@@ -21,7 +21,10 @@ def tiny_cfg():
                                 speaker_dim=8),
         refiner=RefinerConfig(levels=1, cond_dim=16, hidden_channels=16,
                               hsf_hidden=8, style_dim=8, beta_hidden=8,
-                              s4=s4, sde_steps=2),
+                              s4=s4, sde_steps=2,
+                              # tiny codebook: a 3x512-code RVQ can't
+                              # organize in a 40-step smoke test
+                              vq_dims=(80,), vq_codes=(16,)),
         vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16, disc_ch_growth=2),
         train=TrainConfig(warmup_steps=2, max_steps=8, val_freq=0,
                           checkpoint_freq=0, lr=1e-3),
@@ -59,12 +62,19 @@ def test_sde_score_points_toward_clean_data():
     """Regression for the round-1 inverted score target (ADVICE high #1):
     after training with the SDE term active, one Euler–Maruyama pass from a
     noised start must move toward the target, not away from it."""
+    import dataclasses
     from ttsx.models.refiner import sde_sample
-    batch = synthetic_batch(CFG, batch=2, frames=8, with_wav=False)
-    block = RefinerBlock(CFG)
+    # the shared CFG's LR schedule decays over max_steps=8 — this test
+    # actually trains, so it needs a schedule covering its step budget
+    # (the zero-init delta_gate must have time to grow)
+    cfg = dataclasses.replace(
+        CFG, train=TrainConfig(warmup_steps=10, max_steps=200, val_freq=0,
+                               checkpoint_freq=0, lr=5e-3))
+    batch = synthetic_batch(cfg, batch=2, frames=8, with_wav=False)
+    block = RefinerBlock(cfg)
     state = block.init_state(jax.random.PRNGKey(0), batch)
     mel_pred = jnp.asarray(batch["mel"])  # clean input -> pure denoising
-    for _ in range(40):
+    for _ in range(150):
         state, out = block.train_step(state, batch, mel_pred,
                                       jnp.asarray(0.5), jnp.asarray(0.5))
     assert np.isfinite(float(out["metrics"]["loss"]))

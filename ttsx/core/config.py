@@ -159,8 +159,12 @@ class RefinerConfig:
     hsf_kernel: int = 5
     style_dim: int = 128
     num_styles: int = 100
-    vq_dims: Tuple[int, ...] = (80,)
-    vq_codes: Tuple[int, ...] = (512,)
+    # residual-VQ stages (ttsx/nn/vq.py HierVQ): each stage quantizes what
+    # the previous stages missed, so fidelity compounds (512^3 effective
+    # codes). The reference's [512, 256] dims are unusable as stored —
+    # stage dims must equal the 80-channel signal (config.json:13).
+    vq_dims: Tuple[int, ...] = (80, 80, 80)
+    vq_codes: Tuple[int, ...] = (512, 512, 512)
     cnf_dim: int = 80
     s4: S4Config = field(default_factory=lambda: S4Config(
         heads=4, l_max=1024, dropout=0.1, causal=True, norm_groups=4))

@@ -47,6 +47,35 @@ def _speaker_vec(ids: np.ndarray, dim: int, n_speakers: int) -> np.ndarray:
     return eye[ids]
 
 
+def _normalize_mels(d: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Swap the raw log-mel for its per-utterance per-bin normalization
+    (the flagship's training space, AudioConfig.mel_normalize) while
+    keeping the stats so MCD can be measured in honest log-mel dB by
+    de-normalizing predictions with the *target's* stats."""
+    raw = d["mel"]
+    mean = raw.mean(axis=1, keepdims=True)
+    std = raw.std(axis=1, keepdims=True) + 1e-5
+    out = dict(d)
+    out["mel"] = ((raw - mean) / std).astype(np.float32)
+    out["mel_raw"], out["mel_mean"], out["mel_std"] = raw, mean, std
+    return out
+
+
+_STATS_KEYS = ("mel_raw", "mel_mean", "mel_std")
+
+
+def _model_batch(d: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip eval-only stats keys from a features dict."""
+    return {k: v for k, v in d.items() if k not in _STATS_KEYS}
+
+
+def _denorm_mcd(pred_norm: np.ndarray, data: Dict[str, np.ndarray],
+                j: int, mcd_fn) -> float:
+    """MCD dB between a normalized prediction and the raw target mel."""
+    raw = pred_norm * data["mel_std"][j] + data["mel_mean"][j]
+    return mcd_fn(raw, data["mel_raw"][j])
+
+
 def _batch_sampler(feats: Dict[str, np.ndarray], batch: int, seed: int):
     rng = np.random.default_rng(seed)
     n = len(feats["mel"])
@@ -133,9 +162,11 @@ def _acoustic_data(n_speakers: int, utts_train: int, utts_eval: int,
     corpus = ToneCorpus(n_speakers=n_speakers,
                         text_dim=cfg.acoustic.text_emb_dim,
                         audio=AUDIO, seed=seed)
-    tr = corpus.features(corpus.utterances(utts_train, frames, seed=seed))
-    ev = corpus.features(corpus.utterances(utts_eval, frames,
-                                           seed=seed + 1))
+    tr = _normalize_mels(
+        corpus.features(corpus.utterances(utts_train, frames, seed=seed)))
+    ev = _normalize_mels(
+        corpus.features(corpus.utterances(utts_eval, frames,
+                                          seed=seed + 1)))
     for d in (tr, ev):
         d["speaker"] = _speaker_vec(d["speaker_id"],
                                     cfg.acoustic.speaker_dim, n_speakers)
@@ -144,7 +175,7 @@ def _acoustic_data(n_speakers: int, utts_train: int, utts_eval: int,
 
 def acoustic_parity(n_speakers: int = 8, utts_train: int = 24,
                     utts_eval: int = 8, frames: int = 128,
-                    steps: int = 2000, batch: int = 16, seed: int = 0,
+                    steps: int = 4000, batch: int = 16, seed: int = 0,
                     return_states: bool = False) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -155,23 +186,25 @@ def acoustic_parity(n_speakers: int = 8, utts_train: int = 24,
     corpus, tr, ev = _acoustic_data(n_speakers, utts_train, utts_eval,
                                     frames, seed, cfg)
     block = AcousticBlock(cfg)
-    sampler = _batch_sampler(tr, batch, seed)
+    sampler = _batch_sampler(_model_batch(tr), batch, seed)
     first = next(sampler)
     state = block.init_state(jax.random.PRNGKey(seed),
                              {k: jnp.asarray(v) for k, v in first.items()})
 
     def eval_mcd(params, data):
         mcds, preds = [], []
+        mb_all = _model_batch(data)
         for i in range(0, len(data["mel"]), batch):
-            mb = {k: jnp.asarray(v[i:i + batch]) for k, v in data.items()}
+            mb = {k: jnp.asarray(v[i:i + batch])
+                  for k, v in mb_all.items()}
             if mb["mel"].shape[0] < batch:
                 break
             out = block.val_step(params, mb)
             pred = np.asarray(out["mel_pred"])
             preds.append(pred)
             for j in range(pred.shape[0]):
-                mcds.append(mel_cepstral_distortion(
-                    pred[j], np.asarray(mb["mel"][j])))
+                mcds.append(_denorm_mcd(pred[j], data, i + j,
+                                        mel_cepstral_distortion))
         return float(np.mean(mcds)), preds
 
     mcd_random, _ = eval_mcd(state.params, ev)
@@ -186,6 +219,8 @@ def acoustic_parity(n_speakers: int = 8, utts_train: int = 24,
     res = {"exp": "acoustic", "mcd_db": mcd,
            "mcd_random_weights_db": mcd_random, "final_loss": loss,
            "steps": steps, "train_seconds": train_s,
+           "space": "trained on per-utterance-normalized log-mel; MCD "
+                    "measured on de-normalized (raw log-mel) frames",
            "eval_utts": len(ev["mel"])}
     if return_states:
         res["_state"] = state
@@ -198,8 +233,8 @@ def acoustic_parity(n_speakers: int = 8, utts_train: int = 24,
 # ---------------------------------------------------------------------------
 # 3. refiner depth comparison -> MCD at levels 2 vs 3
 # ---------------------------------------------------------------------------
-def refiner_parity(levels: Sequence[int] = (2, 3), steps: int = 1200,
-                   acoustic_steps: int = 2000, batch: int = 8,
+def refiner_parity(levels: Sequence[int] = (2, 3), steps: int = 2400,
+                   acoustic_steps: int = 4000, batch: int = 8,
                    frames: int = 128, seed: int = 0) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -213,8 +248,10 @@ def refiner_parity(levels: Sequence[int] = (2, 3), steps: int = 1200,
 
     def mel_pred_of(data):
         preds = []
+        mb_all = _model_batch(data)
         for i in range(0, len(data["mel"]), batch):
-            mb = {k: jnp.asarray(v[i:i + batch]) for k, v in data.items()}
+            mb = {k: jnp.asarray(v[i:i + batch])
+                  for k, v in mb_all.items()}
             if mb["mel"].shape[0] < batch:
                 break
             preds.append(np.asarray(
@@ -226,32 +263,38 @@ def refiner_parity(levels: Sequence[int] = (2, 3), steps: int = 1200,
     ev_pred, ev_cut = mel_pred_of(ev)
 
     out: Dict = {"exp": "refiner", "acoustic_mcd_db": base["mcd_db"],
-                 "levels": {}}
+                 "space": base["space"], "levels": {},
+                 # full acoustic experiment record (shares the training run)
+                 "acoustic": {k: v for k, v in base.items()
+                              if not k.startswith("_")}}
     for lv in levels:
         cfg = _tts_cfg(levels=lv)
         block = RefinerBlock(cfg)
         rng = np.random.default_rng(seed)
-        first = {k: jnp.asarray(v[:batch]) for k, v in tr_cut.items()}
+        tr_model = _model_batch(tr_cut)
+        ev_model = _model_batch(ev_cut)
+        first = {k: jnp.asarray(v[:batch]) for k, v in tr_model.items()}
         state = block.init_state(jax.random.PRNGKey(seed), first)
         t0 = time.perf_counter()
         for step in range(steps):
             idx = rng.integers(0, len(tr_pred), batch)
-            mb = {k: jnp.asarray(v[idx]) for k, v in tr_cut.items()}
+            mb = {k: jnp.asarray(v[idx]) for k, v in tr_model.items()}
             state, m = block.train_step(
                 state, mb, jnp.asarray(tr_pred[idx]),
                 jnp.asarray(0.3, jnp.float32), jnp.asarray(0.9, jnp.float32))
         train_s = time.perf_counter() - t0
         mcds = []
         for i in range(0, len(ev_pred), batch):
-            mb = {k: jnp.asarray(v[i:i + batch]) for k, v in ev_cut.items()}
+            mb = {k: jnp.asarray(v[i:i + batch])
+                  for k, v in ev_model.items()}
             if mb["mel"].shape[0] < batch:
                 break
             r = block.val_step(state.params, mb,
                                jnp.asarray(ev_pred[i:i + batch]))
             ref = np.asarray(r["mel_ref"])
             for j in range(ref.shape[0]):
-                mcds.append(mel_cepstral_distortion(
-                    ref[j], np.asarray(mb["mel"][j])))
+                mcds.append(_denorm_mcd(ref[j], ev_cut, i + j,
+                                        mel_cepstral_distortion))
         out["levels"][str(lv)] = {
             "mcd_db": float(np.mean(mcds)),
             "final_loss": float(m["metrics"]["loss"]),

@@ -27,10 +27,13 @@ def vocoder_gan_smoke(steps: int = 500, frames: int = 64, batch: int = 4,
     import jax
     import jax.numpy as jnp
     from ttsx.train.blocks import VocoderBlock
+    from ttsx.eval.parity import _normalize_mels, _model_batch
 
     cfg = _tts_cfg()
     corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed)
-    feats = corpus.features(corpus.utterances(8, frames, seed=seed))
+    # normalized mel input — the space the flagship's generator sees
+    feats = _model_batch(_normalize_mels(
+        corpus.features(corpus.utterances(8, frames, seed=seed))))
     # wav length must equal frames * hop for the generator contract
     hop = 1
     for f in cfg.vocoder.upsample_factors:
@@ -41,13 +44,14 @@ def vocoder_gan_smoke(steps: int = 500, frames: int = 64, batch: int = 4,
     sampler = _batch_sampler(feats, batch, seed)
     first = {k: jnp.asarray(v) for k, v in next(sampler).items()}
     states = block.init_state(jax.random.PRNGKey(seed), first)
-    d_hist, g_hist = [], []
+    d_hist, g_hist, r1_hist = [], [], []
     t0 = time.perf_counter()
     for step in range(steps):
         mb = {k: jnp.asarray(v) for k, v in next(sampler).items()}
         states, dm = block.disc_step(states, mb)
         states, gm = block.gen_step(states, mb)
         d_hist.append(float(dm["d_loss"]))
+        r1_hist.append(float(dm["r1"]))
         g_hist.append(float(gm["g_loss"]))
     train_s = time.perf_counter() - t0
     tail_d = np.asarray(d_hist[-100:])
@@ -61,6 +65,9 @@ def vocoder_gan_smoke(steps: int = 500, frames: int = 64, batch: int = 4,
             "d_loss_tail_std": float(tail_d.std()),
             "g_loss_tail_mean": float(tail_g.mean()),
             "g_loss_tail_std": float(tail_g.std()),
+            "r1_tail_mean_on_r1_steps": float(
+                np.mean([r for r in r1_hist[-100:] if r > 0.0]) if
+                any(r > 0.0 for r in r1_hist[-100:]) else 0.0),
             "stable": bool(np.isfinite(d_hist).all()
                            and np.isfinite(g_hist).all()),
             "disc_params": n_params, "train_seconds": train_s}
@@ -164,6 +171,9 @@ def main(argv=None):
     for name in names:
         r = EXPERIMENTS[name]()
         r = {k: v for k, v in r.items() if not k.startswith("_")}
+        if name == "refiner" and "acoustic" in r:
+            # the refiner run embeds a full acoustic experiment
+            results["acoustic"] = r.pop("acoustic")
         results[name] = r
         print(json.dumps({name: r}))
         out_path.write_text(json.dumps(results, indent=1))

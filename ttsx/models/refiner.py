@@ -42,10 +42,11 @@ from ttsx.nn.embed import sinusoidal_table
 
 @flax.struct.dataclass
 class RefinerOutput:
-    mel_ref: jnp.ndarray    # [B, T, 80]
+    mel_ref: jnp.ndarray    # [B, T, 80] refined mel (continuous path)
     t: jnp.ndarray          # [B, 1]
     vq_loss: jnp.ndarray    # scalar
     score: jnp.ndarray      # [B, T, 80] refinement residual (score estimate)
+    mel_vq: jnp.ndarray     # [B, T, 80] discrete-code reconstruction
 
 
 class BetaScheduler(nn.Module):
@@ -69,10 +70,12 @@ class BandNet(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         cfg = self.cfg
         ch = y.shape[-1]
+        band_in = y
         # memory recompute (RevBlock equivalent) is applied at the train-step
         # level via jax.checkpoint policies rather than per-block here.
 
         # down path: channel growth x2 per level (model.py:112-116)
+        skips = []
         for lvl in range(cfg.levels):
             y = S4(ch, cfg.s4, name=f"down_s4_{lvl}")(y, deterministic)
             y = GumbelMoE(ch, 2 * ch, style_dim=cfg.style_dim,
@@ -81,18 +84,32 @@ class BandNet(nn.Module):
             ch *= 2
             y = TFBlock(ch, heads=cfg.s4.heads, dim_ff=cfg.cond_dim,
                         name=f"down_tf_{lvl}")(y, deterministic=deterministic)
+            skips.append(y)
 
         y = S4(ch, cfg.s4, name="mid_s4")(y, deterministic)
 
-        # up path: channel shrink /2 per level (model.py:118-122)
+        # up path: channel shrink /2 per level with U-Net long skips —
+        # without them the normalization-heavy stack cannot carry the
+        # input band to the output and training collapses the correction
+        # to an input-independent constant (measured: d(score)/d(mel0)
+        # ~ 1e-6 after 300 steps, i.e. the refiner learns to do nothing)
         for lvl in range(cfg.levels):
             y = nn.Dense(ch // 2, name=f"up_proj_{lvl}")(y)
             ch //= 2
+            y = y + nn.Dense(ch, name=f"skip_proj_{lvl}")(
+                skips[cfg.levels - 1 - lvl])
             y = TFBlock(ch, heads=cfg.s4.heads, dim_ff=cfg.cond_dim,
                         name=f"up_tf_{lvl}")(y, deterministic=deterministic)
             y = S4(ch, cfg.s4, name=f"up_s4_{lvl}")(y, deterministic)
 
-        return Conv1d(self.band_size, 3, name="band_out")(y)
+        # the raw band rides straight into the output conv (longest skip):
+        # "-identity + memorized structure" must be representable by ONE
+        # linear layer for denoising to be learnable. zero-init: each
+        # band's correction starts at exactly 0, making the whole refiner
+        # identity at init (see ScoreSDERefiner below).
+        y = jnp.concatenate([y, band_in], axis=-1)
+        return Conv1d(self.band_size, 3, zero_init=True,
+                      name="band_out")(y)
 
 
 class ScoreSDERefiner(nn.Module):
@@ -157,14 +174,32 @@ class ScoreSDERefiner(nn.Module):
             offset += bsz
         merged = jnp.concatenate(outs, axis=-1)  # [B, T, 80]
 
-        # HSF residual scaled by beta + hierarchical VQ (model.py:227-246)
+        # HSF residual scaled by beta (model.py:227-246), as a CORRECTION
+        # field: mel_ref = mel0 + delta. The reference instead emits the
+        # full signal through HierVQ (model.py:243-246) — but a denoising
+        # correction is near-white, and white noise through a codebook is
+        # floored at the codebook's (large) quantization error, so a
+        # VQ-in-the-loop refiner can never beat its own input under SDE
+        # sampling (measured: the score collapses to 0 and MCD lands at
+        # the random-weights level). The SDE/score path is therefore
+        # CONTINUOUS, and the HierVQ rides in parallel as the discrete-
+        # code head (`mel_vq`): same codebooks, same hierarchy, usable as
+        # a codec, out of the denoising loop. The refiner is exactly
+        # identity at init (band output convs are zero-initialized —
+        # Conv1d zero_init keeps full kernel gradients), so an untrained
+        # refiner passes the acoustic mel through unchanged and training
+        # can only improve on it.
         hn = HSFLayer(cfg.cnf_dim, cfg.hsf_hidden, cfg.hsf_layers,
                       cfg.hsf_kernel, name="hsf")(merged)
-        z = merged + beta[:, :, None] * hn
-        zq, vql = HierVQ(cfg.vq_dims, cfg.vq_codes, name="vq")(z)
+        delta = merged + beta[:, :, None] * hn
+        mel_ref = mel0 + delta
+        # EMA codebook updates run only on training passes (the caller
+        # applies with mutable=["vq_stats"] — ttsx/nn/vq.py)
+        dq, vql = HierVQ(cfg.vq_dims, cfg.vq_codes, name="vq")(
+            delta, train=not deterministic)
 
-        return RefinerOutput(mel_ref=zq, t=t, vq_loss=vql,
-                             score=zq - mel0)
+        return RefinerOutput(mel_ref=mel_ref, t=t, vq_loss=vql,
+                             score=delta, mel_vq=mel0 + dq)
 
 
 def sde_sample(refiner: ScoreSDERefiner, params, mel0: jnp.ndarray,

@@ -21,6 +21,12 @@ class Conv1d(nn.Module):
     groups: int = 1
     padding: str = "SAME"  # SAME | CAUSAL | VALID
     use_bias: bool = True
+    # zero-init the kernel (diffusion-UNet "zero module" pattern): the
+    # layer outputs 0 at init but its kernel still receives full gradient,
+    # so a residual branch behind it starts as identity without starving
+    # upstream layers (unlike an output gate, whose zero value kills the
+    # chain rule into everything before it)
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -36,6 +42,8 @@ class Conv1d(nn.Module):
             feature_group_count=self.groups,
             padding=pad,
             use_bias=self.use_bias,
+            kernel_init=(nn.initializers.zeros if self.zero_init
+                         else nn.initializers.lecun_normal()),
         )(x)
 
 

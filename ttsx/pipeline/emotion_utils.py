@@ -114,7 +114,11 @@ RULES: List[Rule] = [
          and bool(f.keywords & _kw("exhausted", "weary", "tired"))),
     Rule("R30", "Calm", lambda f: f.neu > 0.55 and abs(f.energy) < 0.25
          and abs(f.pitch_var) < 0.3),
-    Rule("R31", "Neutral", lambda f: f.neu > 0.4),
+    # reference Neutral rule is conjunctive (neu > 0.7 AND low pitch
+    # variability, emotion_utils.py:61) — NOT a catch-all; when nothing
+    # fires, tier2 keeps the tier-1 sentiment label (tier2.py:126-136
+    # `label = base_tag`), which classify() signals by returning None
+    Rule("R31", "Neutral", lambda f: f.neu > 0.7 and f.pitch_var < 0.3),
 ]
 
 # Reference GROUP_MAP (emotion_utils.py:95-107) verbatim: it routes
@@ -139,9 +143,11 @@ GROUP_MAP: Dict[str, str] = {
 EMOTION_LABELS = [r.label for r in RULES]
 
 
-def classify(features: Features) -> Rule:
-    """First matching rule (confidence comes from tier logic, not here)."""
+def classify(features: Features):
+    """First matching rule, or None when no rule fires (the caller keeps
+    the tier-1 base tag, reference tier2.py:126-136). Confidence comes
+    from tier logic, not here."""
     for rule in RULES:
         if rule.fn(features):
             return rule
-    return RULES[-1]
+    return None

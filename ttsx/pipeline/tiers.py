@@ -85,16 +85,27 @@ NEGATION_TOKENS = EU and {"not", "no", "never", "n't", "without", "hardly"}
 
 
 def invert_if_negated(text: str, scores: Dict) -> Dict:
-    """spaCy/negspacy-equivalent heuristic: if a negation token precedes
-    the strongest sentiment word, swap pos/neg (tier2.py negation
-    inversion)."""
+    """spaCy/negspacy-equivalent heuristic: swap pos/neg when a negation
+    token appears OUTSIDE the lexicon scorer's 3-word pre-valence window
+    (tier2.py negation inversion). The sentiment scorer already inverts
+    valence for negations directly preceding a sentiment word
+    (sentiment.py:78-81); re-flipping those would undo the correct
+    handling — measured as a 9-point group-accuracy loss in
+    ttsx/eval/rule_calibration.py before this guard."""
+    from ttsx.pipeline.sentiment import LEXICON
     words = text.lower().split()
-    if any(w in NEGATION_TOKENS or w.endswith("n't") for w in words):
-        flipped = dict(scores)
-        flipped["pos"], flipped["neg"] = scores["neg"], scores["pos"]
-        flipped["compound"] = -scores["compound"]
-        return flipped
-    return scores
+    neg_at = [i for i, w in enumerate(words)
+              if w in NEGATION_TOKENS or w.endswith("n't")]
+    if not neg_at:
+        return scores
+    handled = {i for j, w in enumerate(words) if w in LEXICON
+               for i in (j - 1, j - 2, j - 3)}
+    if all(i in handled for i in neg_at):
+        return scores
+    flipped = dict(scores)
+    flipped["pos"], flipped["neg"] = scores["neg"], scores["pos"]
+    flipped["compound"] = -scores["compound"]
+    return flipped
 
 
 def contradiction_score(text: str) -> float:
@@ -106,10 +117,59 @@ def contradiction_score(text: str) -> float:
     return min(1.0, pivots * 0.5)
 
 
+def slice_prosody_features(trend: Dict, tags: List[Dict],
+                           frame_rate: float) -> List[Dict[str, float]]:
+    """Per-slice prosody z-features from prosody_trend.json frame series.
+
+    Reference tier2.py:80-84,119-134 z-scores f0/energy over the whole
+    recording and means them over each slice's [start, end) frames. This
+    adds pitch/energy variability and pause (unvoiced-ratio) / speech-rate
+    z-scores across slices so the full rule table is live."""
+    f0 = np.asarray(trend.get("f0", []), np.float64)
+    en = np.asarray(trend.get("energy", []), np.float64)
+    n = min(len(f0), len(en))
+    f0, en = f0[:n], en[:n]
+    voiced = f0 > 0
+    if voiced.any():
+        f0_z = np.zeros(n)
+        f0_z[voiced] = ((f0[voiced] - f0[voiced].mean())
+                        / (f0[voiced].std() + 1e-6))
+    else:
+        f0_z = np.zeros(n)
+    en_z = (en - en.mean()) / (en.std() + 1e-6) if n else en
+    rows = []
+    for tag in tags:
+        si = int(tag.get("start", 0.0) * frame_rate)
+        ei = max(si + 1, int(tag.get("end", 0.0) * frame_rate))
+        si, ei = min(si, n), min(ei, n)
+        if ei <= si:
+            rows.append(dict(pitch=0.0, energy=0.0, pitch_var=0.0,
+                             energy_var=0.0, pause=0.0, speech_rate=0.0))
+            continue
+        sl_f0, sl_en, sl_v = f0_z[si:ei], en_z[si:ei], voiced[si:ei]
+        dur = max((tag.get("end", 0.0) - tag.get("start", 0.0)), 1e-3)
+        rows.append(dict(
+            pitch=float(sl_f0[sl_v].mean()) if sl_v.any() else 0.0,
+            energy=float(sl_en.mean()),
+            pitch_var=float(sl_f0[sl_v].std()) if sl_v.sum() > 1 else 0.0,
+            energy_var=float(sl_en.std()),
+            pause=float(1.0 - sl_v.mean()),
+            speech_rate=len(tag.get("text", "").split()) / dur))
+    # variability / pause / rate live in across-slice z-space (the rule
+    # thresholds are z-valued); mean pitch/energy are already recording-z
+    if rows:
+        for k in ("pitch_var", "energy_var", "pause", "speech_rate"):
+            v = np.asarray([r[k] for r in rows])
+            z = (v - v.mean()) / (v.std() + 1e-6)
+            for r, zv in zip(rows, z):
+                r[k] = float(zv)
+    return rows
+
+
 class Tier2Stage(Stage):
     name = "tier2"
 
-    def __init__(self, embed_fn=None, emotion_fn=None):
+    def __init__(self, embed_fn=None, emotion_fn=None, frame_rate=None):
         # embed_fn(wav_slice | text) -> np.ndarray speaker embedding, used
         # for the running-mean cosine ESR score; None -> ESR neutral 0.5
         self.embed_fn = embed_fn
@@ -117,6 +177,11 @@ class Tier2Stage(Stage):
         # EmotionClassifier + EmotionWeightLearner blend (prosody3/
         # assign_emotion_tags.py); None -> rule table only
         self.emotion_fn = emotion_fn
+        if frame_rate is None:
+            from ttsx.core.config import AudioConfig
+            au = AudioConfig()
+            frame_rate = au.sample_rate / au.hop_length
+        self.frame_rate = float(frame_rate)
 
     def run(self, context: Dict) -> Dict:
         results = {}
@@ -124,32 +189,50 @@ class Tier2Stage(Stage):
             d = speaker_dir(context, spk)
             t1 = read_json(d / "tier1_tags.json", {"tags": []})["tags"]
             drift = read_json(d / "drift_vector.json", {})
+            trend = read_json(d / "prosody_trend.json", {})
+            pros = slice_prosody_features(trend, t1, self.frame_rate)
             events = drift.get("events", [])
             drift_conf = (np.mean([e["confidence"] for e in events])
                           if events else 0.0)
+            deltas = np.asarray(drift.get("deltas", []), np.float64)
             running_emb: Optional[np.ndarray] = None
             out = []
             for i, tag in enumerate(t1):
                 scores = invert_if_negated(tag["text"], tag["scores"])
                 contra = contradiction_score(tag["text"])
-                # prosody z-scores from drift deltas when present
-                deltas = np.asarray(drift.get("deltas", []), np.float64)
-                z = 0.0
-                if len(deltas):
+                p = pros[i]
+                if not trend and len(deltas):
+                    # no prosody_trend.json: fall back to drift-delta z
                     j = min(i, len(deltas) - 1)
                     z = float((deltas[j] - deltas.mean())
                               / (deltas.std() + 1e-6))
+                    p = dict(p, pitch=z, energy=z)
                 feats = EU.Features(
                     pos=scores["pos"], neg=scores["neg"], neu=scores["neu"],
-                    pitch=z, energy=z, speech_rate=0.0, pause=0.0,
+                    pitch=p["pitch"], energy=p["energy"],
+                    speech_rate=p["speech_rate"], pause=p["pause"],
+                    pitch_var=p["pitch_var"], energy_var=p["energy_var"],
                     keywords=frozenset(tag["text"].lower().split()))
                 rule = EU.classify(feats)
+                if rule is not None:
+                    label, group, rule_id = (rule.label,
+                                             EU.GROUP_MAP[rule.label],
+                                             rule.rule_id)
+                else:
+                    # no rule fired: keep the tier-1 base tag
+                    # (reference tier2.py:126-136 `label = base_tag`)
+                    label = tag["label"]
+                    group = {"positive": "Positive", "negative": "Negative",
+                             "neutral": "Neutral"}[label]
+                    rule_id = "base"
                 model_label = None
                 if self.emotion_fn is not None:
                     vader = np.asarray([scores["pos"], scores["neg"],
                                         scores["neu"], scores["compound"]])
-                    pvec = np.concatenate([[z] * 6,
-                                           np.zeros(13)])[:19]
+                    pvec = np.concatenate([
+                        [p["pitch"], p["energy"], p["pitch_var"],
+                         p["energy_var"], p["speech_rate"], p["pause"]],
+                        np.zeros(13)])[:19]
                     probs = np.asarray(self.emotion_fn(vader, pvec))
                     from ttsx.models.prosody import EMOTIONS
                     model_label = EMOTIONS[int(np.argmax(probs))]
@@ -174,9 +257,9 @@ class Tier2Stage(Stage):
                 entry = {
                     "start": tag["start"], "end": tag["end"],
                     "text": tag["text"],
-                    "label": rule.label,
-                    "group": EU.GROUP_MAP[rule.label],
-                    "rule_id": rule.rule_id,
+                    "label": label,
+                    "group": group,
+                    "rule_id": rule_id,
                     "confidence": round(float(conf), 3),
                     "esr_score": round(float(esr), 3),
                     "status": _status(conf, EU.T2_AUTO, EU.T2_MIN),

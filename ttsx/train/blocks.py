@@ -136,7 +136,14 @@ class RefinerBlock:
                             self.cfg.train.max_steps,
                             self.cfg.train.weight_decay,
                             self.cfg.train.grad_clip)
-        return TrainState.create(self.model.apply, params, tx, rng)
+        # the EMA codebook stats ("vq_stats" collection) are updated by
+        # the forward pass, never by the optimizer — mask them off so
+        # AdamW weight decay cannot corrupt them
+        import optax
+        mask = {k: jax.tree_util.tree_map(lambda _: k == "params", v)
+                for k, v in params.items()}
+        return TrainState.create(self.model.apply, params,
+                                 optax.masked(tx, mask), rng)
 
     @partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState, batch: Dict,
@@ -152,10 +159,14 @@ class RefinerBlock:
         noisy = mel_pred + eps_injected
 
         def loss_fn(params):
-            out = state.apply_fn(params, noisy, batch["prosody"],
-                                 batch["style_id"], batch["text_emb"], t=t,
-                                 deterministic=False,
-                                 rngs={"gumbel": rng, "dropout": rng})
+            # mutable vq_stats: the forward pass advances the EMA
+            # codebooks (ttsx/nn/vq.py); the updated stats ride along as
+            # aux output and replace the old ones after the grad step
+            out, new_vars = state.apply_fn(
+                params, noisy, batch["prosody"],
+                batch["style_id"], batch["text_emb"], t=t,
+                deterministic=False, mutable=["vq_stats"],
+                rngs={"gumbel": rng, "dropout": rng})
             # score matching: train score -> -eps_injected so the sampler's
             # x += dt*score step (refiner.py sde_sample) moves toward clean
             # data; refiner_loss computes mean((score + eps)^2)
@@ -163,11 +174,13 @@ class RefinerBlock:
                 out.mel_ref, batch["mel"], out.vq_loss,
                 l1_weight=l1_weight, sde_weight=1.0 - l1_weight,
                 score=out.score, noise=eps_injected)
-            return loss, parts
+            return loss, (parts, new_vars)
 
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (loss, (parts, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads)
+        state = state.replace(params={
+            **state.params, "vq_stats": new_vars["vq_stats"]})
         return state, {"metrics": {"loss": loss, **parts}}
 
     @partial(jax.jit, static_argnums=(0,))
@@ -287,15 +300,21 @@ class VocoderBlock:
 
             r1 = jnp.mean(jnp.sum(
                 jax.grad(real_score)(wav_real) ** 2, axis=(1, 2)))
-            return d + jnp.where(apply_r1, 0.5 * vc.r1_gamma * r1, 0.0)
+            r1_term = jnp.where(apply_r1, 0.5 * vc.r1_gamma * r1, 0.0)
+            return d + r1_term, (d, r1_term)
 
-        loss, grads = jax.value_and_grad(d_loss_fn, argnums=(0, 1, 2))(
+        (loss, (d_hinge, r1_term)), grads = jax.value_and_grad(
+            d_loss_fn, argnums=(0, 1, 2), has_aux=True)(
             states.mpd.params, states.msd.params, states.mbd.params)
         states = states.replace(
             mpd=states.mpd.apply_gradients(grads[0]),
             msd=states.msd.apply_gradients(grads[1]),
             mbd=states.mbd.apply_gradients(grads[2]))
-        return states, {"d_loss": loss}
+        # d_loss = the hinge term (the GAN-health band metric); the lazy
+        # R1 penalty is reported separately so its every-16-step spikes
+        # don't read as instability (vocoder7/config.py r1_interval)
+        return states, {"d_loss": d_hinge, "r1": r1_term,
+                        "d_total": loss}
 
     @partial(jax.jit, static_argnums=(0,))
     def gen_step(self, states: VocoderStates, batch: Dict):
