@@ -156,3 +156,64 @@ def test_collator_to_trainer_adapter(audio_tree):
     assert b["emotion_probs"].shape == (B, 6)
     assert b["wav"].ndim == 3
     assert np.isfinite(b["prosody"]).all()
+
+
+def test_native_wavio_matches_scipy_path(tmp_path):
+    """The C decoder (ttsx/native/wavio.c) must be bit-compatible with the
+    scipy+numpy fallback across encodings, channel mixes and resampling."""
+    import struct
+    from scipy.io import wavfile
+    from ttsx.native import wavio
+    if wavio is None:
+        import pytest
+        pytest.skip("no C toolchain: native extension unavailable")
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    ref = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    p16 = tmp_path / "m16.wav"
+    wavfile.write(p16, sr, (ref * 32767).astype(np.int16))
+    d, s = wavio.read_wav(str(p16))
+    assert s == sr and d.dtype == np.float32
+    np.testing.assert_allclose(
+        d, (ref * 32767).astype(np.int16) / 32768.0, atol=1e-7)
+
+    # stereo float32 -> mono mix
+    pst = tmp_path / "st.wav"
+    stereo = np.stack([ref, -0.5 * ref], axis=1)
+    wavfile.write(pst, sr, stereo)
+    d, _ = wavio.read_wav(str(pst))
+    np.testing.assert_allclose(d, stereo.mean(axis=1), atol=1e-6)
+
+    # 24-bit PCM (no scipy writer: hand-rolled RIFF)
+    p24 = tmp_path / "a24.wav"
+    s24 = (ref * 8388607).astype(np.int32)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in s24)
+    with open(p24, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 3,
+                                      3, 24))
+        f.write(b"data" + struct.pack("<I", len(raw)) + raw)
+    d, _ = wavio.read_wav(str(p24))
+    np.testing.assert_allclose(d, s24 / 8388608.0, atol=1e-6)
+
+    # linear-resample parity with the numpy fallback formula
+    d, s = wavio.read_wav(str(p16), 8000)
+    x = (ref * 32767).astype(np.int16) / 32768.0
+    n = int(round(len(x) * 8000 / sr))
+    expect = np.interp(np.linspace(0, len(x) - 1, n),
+                       np.arange(len(x)), x).astype(np.float32)
+    assert s == 8000
+    np.testing.assert_allclose(d, expect, atol=2e-6)
+
+    # read_wav() facade prefers the native path and agrees with it
+    d2, s2 = read_wav(p16, target_sr=8000)
+    np.testing.assert_allclose(d2, d, atol=0)
+
+    # corrupt file raises ValueError, not a crash
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFxxxxWAVEjunk")
+    import pytest
+    with pytest.raises(ValueError):
+        wavio.read_wav(str(bad))

@@ -22,7 +22,19 @@ from ttsx.core.config import AudioConfig
 
 
 def read_wav(path: str | Path, target_sr: int | None = None) -> Tuple[np.ndarray, int]:
-    """Load a wav as float32 mono [-1, 1]; polyphase-free linear resample."""
+    """Load a wav as float32 mono [-1, 1]; polyphase-free linear resample.
+
+    Prefers the native single-pass decoder (ttsx/native/wavio.c: parse,
+    mono-mix, normalize and resample in one C loop straight into the
+    output buffer); falls back to scipy + numpy temporaries when the
+    extension is unavailable."""
+    from ttsx.native import wavio
+    if wavio is not None:
+        try:
+            data, sr = wavio.read_wav(str(path), int(target_sr or 0))
+            return data, sr
+        except ValueError:
+            pass  # exotic encoding: let scipy try
     from scipy.io import wavfile
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:

@@ -1,0 +1,244 @@
+/* _ttsx_wavio — native RIFF/WAVE decoder for the host-side data loader.
+ *
+ * The reference stack decodes audio with torchaudio/soundfile C++ readers
+ * (data_loading1/data.set.py:26-158 reads per-item wavs inside the
+ * dataloader worker); on a TPU host the Python/scipy path costs one full
+ * dtype-cast + mean() pass per file in numpy temporaries. This module
+ * does parse -> mono-mix -> normalize -> (optional) linear resample in a
+ * single C pass straight into the output numpy buffer.
+ *
+ * Exposed API (see ttsx/native/__init__.py for the ctypes-free wrapper):
+ *   read_wav(path: str, target_sr: int = 0) -> (float32[T], int sr)
+ *
+ * Supported encodings: PCM u8/s16/s24/s32, IEEE float32/float64, and
+ * WAVE_FORMAT_EXTENSIBLE wrapping either. Any channel count (mono-mixed).
+ * Chunked RIFF walking (LIST/fact/cue chunks skipped, odd sizes padded).
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
+#include <numpy/arrayobject.h>
+
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define WAVE_FORMAT_PCM 0x0001
+#define WAVE_FORMAT_IEEE_FLOAT 0x0003
+#define WAVE_FORMAT_EXTENSIBLE 0xFFFE
+
+typedef struct {
+    uint16_t format;      /* resolved format tag */
+    uint16_t channels;
+    uint32_t sample_rate;
+    uint16_t bits;
+    const uint8_t *data;  /* points into the file buffer */
+    size_t data_len;      /* bytes */
+} wav_info;
+
+static uint32_t rd_u32(const uint8_t *p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+           ((uint32_t)p[3] << 24);
+}
+
+static uint16_t rd_u16(const uint8_t *p) {
+    return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+}
+
+/* Walk the RIFF chunk list; fills info, returns 0 on success. */
+static int parse_wav(const uint8_t *buf, size_t len, wav_info *info,
+                     const char **err) {
+    if (len < 12 || memcmp(buf, "RIFF", 4) != 0 ||
+        memcmp(buf + 8, "WAVE", 4) != 0) {
+        *err = "not a RIFF/WAVE file";
+        return -1;
+    }
+    size_t pos = 12;
+    int have_fmt = 0;
+    info->data = NULL;
+    info->data_len = 0;
+    while (pos + 8 <= len) {
+        const uint8_t *hdr = buf + pos;
+        uint32_t csize = rd_u32(hdr + 4);
+        size_t body = pos + 8;
+        if (body + csize > len) { /* tolerate truncated final chunk */
+            if (memcmp(hdr, "data", 4) == 0)
+                csize = (uint32_t)(len - body);
+            else
+                break;
+        }
+        if (memcmp(hdr, "fmt ", 4) == 0 && csize >= 16) {
+            info->format = rd_u16(buf + body);
+            info->channels = rd_u16(buf + body + 2);
+            info->sample_rate = rd_u32(buf + body + 4);
+            info->bits = rd_u16(buf + body + 14);
+            if (info->format == WAVE_FORMAT_EXTENSIBLE && csize >= 40) {
+                /* sub-format GUID: first 2 bytes are the real tag */
+                info->format = rd_u16(buf + body + 24);
+            }
+            have_fmt = 1;
+        } else if (memcmp(hdr, "data", 4) == 0) {
+            info->data = buf + body;
+            info->data_len = csize;
+        }
+        pos = body + csize + (csize & 1); /* RIFF chunks are word-aligned */
+    }
+    if (!have_fmt) { *err = "missing fmt chunk"; return -1; }
+    if (!info->data) { *err = "missing data chunk"; return -1; }
+    if (info->channels == 0) { *err = "zero channels"; return -1; }
+    return 0;
+}
+
+/* Decode frame f (all channels mono-mixed) to a float in [-1, 1]. */
+static inline float decode_frame(const wav_info *w, size_t f) {
+    const int ch = w->channels;
+    float acc = 0.0f;
+    size_t bytes = w->bits / 8;
+    const uint8_t *p = w->data + f * bytes * ch;
+    for (int c = 0; c < ch; c++, p += bytes) {
+        float v = 0.0f;
+        if (w->format == WAVE_FORMAT_IEEE_FLOAT) {
+            if (w->bits == 32) {
+                uint32_t u = rd_u32(p);
+                memcpy(&v, &u, 4);
+            } else { /* 64 */
+                uint64_t u = (uint64_t)rd_u32(p) |
+                             ((uint64_t)rd_u32(p + 4) << 32);
+                double d;
+                memcpy(&d, &u, 8);
+                v = (float)d;
+            }
+        } else { /* PCM */
+            switch (w->bits) {
+            case 8:
+                v = ((float)p[0] - 128.0f) / 128.0f;
+                break;
+            case 16: {
+                int16_t s = (int16_t)rd_u16(p);
+                v = (float)s / 32768.0f;
+                break;
+            }
+            case 24: {
+                int32_t s = (int32_t)((uint32_t)p[0] << 8 |
+                                      (uint32_t)p[1] << 16 |
+                                      (uint32_t)p[2] << 24) >> 8;
+                v = (float)s / 8388608.0f;
+                break;
+            }
+            case 32: {
+                int32_t s = (int32_t)rd_u32(p);
+                v = (float)((double)s / 2147483648.0);
+                break;
+            }
+            default:
+                v = 0.0f;
+            }
+        }
+        acc += v;
+    }
+    return acc / (float)ch;
+}
+
+static PyObject *py_read_wav(PyObject *self, PyObject *args,
+                             PyObject *kwargs) {
+    static char *kwlist[] = {"path", "target_sr", NULL};
+    const char *path;
+    long target_sr = 0;
+    if (!PyArg_ParseTupleAndKeywords(args, kwargs, "s|l", kwlist, &path,
+                                     &target_sr))
+        return NULL;
+
+    FILE *fp = fopen(path, "rb");
+    if (!fp)
+        return PyErr_Format(PyExc_FileNotFoundError, "cannot open %s", path);
+    fseek(fp, 0, SEEK_END);
+    long fsz = ftell(fp);
+    fseek(fp, 0, SEEK_SET);
+    if (fsz <= 0) {
+        fclose(fp);
+        return PyErr_Format(PyExc_ValueError, "empty file %s", path);
+    }
+    uint8_t *buf = (uint8_t *)malloc((size_t)fsz);
+    if (!buf) {
+        fclose(fp);
+        return PyErr_NoMemory();
+    }
+    size_t got = fread(buf, 1, (size_t)fsz, fp);
+    fclose(fp);
+
+    wav_info w;
+    const char *err = "parse error";
+    if (parse_wav(buf, got, &w, &err) != 0) {
+        free(buf);
+        return PyErr_Format(PyExc_ValueError, "%s: %s", path, err);
+    }
+    if (w.bits % 8 != 0 || w.bits == 0 || w.bits > 64 ||
+        (w.format != WAVE_FORMAT_PCM && w.format != WAVE_FORMAT_IEEE_FLOAT)) {
+        free(buf);
+        return PyErr_Format(PyExc_ValueError,
+                            "%s: unsupported encoding (fmt=%d bits=%d)", path,
+                            w.format, w.bits);
+    }
+    size_t frame_bytes = (size_t)(w.bits / 8) * w.channels;
+    size_t n_frames = w.data_len / frame_bytes;
+
+    npy_intp out_len = (npy_intp)n_frames;
+    double ratio = 1.0;
+    int resample = (target_sr > 0 && (uint32_t)target_sr != w.sample_rate &&
+                    n_frames > 1);
+    if (resample) {
+        out_len = (npy_intp)((double)n_frames * (double)target_sr /
+                                 (double)w.sample_rate +
+                             0.5);
+        /* match numpy.interp over linspace(0, n-1, out_len) semantics
+         * (ttsx/data/dataset.py read_wav fallback) */
+        ratio = (out_len > 1) ? (double)(n_frames - 1) / (double)(out_len - 1)
+                              : 0.0;
+    }
+
+    PyArrayObject *arr = (PyArrayObject *)PyArray_SimpleNew(1, &out_len,
+                                                            NPY_FLOAT32);
+    if (!arr) {
+        free(buf);
+        return NULL;
+    }
+    float *out = (float *)PyArray_DATA(arr);
+
+    Py_BEGIN_ALLOW_THREADS
+    if (!resample) {
+        for (size_t i = 0; i < n_frames; i++)
+            out[i] = decode_frame(&w, i);
+    } else {
+        for (npy_intp i = 0; i < out_len; i++) {
+            double x = (double)i * ratio;
+            size_t i0 = (size_t)x;
+            if (i0 >= n_frames - 1) {
+                out[i] = decode_frame(&w, n_frames - 1);
+            } else {
+                double t = x - (double)i0;
+                float a = decode_frame(&w, i0);
+                float b = decode_frame(&w, i0 + 1);
+                out[i] = (float)((1.0 - t) * a + t * b);
+            }
+        }
+    }
+    Py_END_ALLOW_THREADS
+
+    long out_sr = resample ? target_sr : (long)w.sample_rate;
+    free(buf);
+    return Py_BuildValue("Nl", (PyObject *)arr, out_sr);
+}
+
+static PyMethodDef Methods[] = {
+    {"read_wav", (PyCFunction)py_read_wav, METH_VARARGS | METH_KEYWORDS,
+     "read_wav(path, target_sr=0) -> (float32 mono array, sample_rate)"},
+    {NULL, NULL, 0, NULL}};
+
+static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_ttsx_wavio",
+                                       NULL, -1, Methods};
+
+PyMODINIT_FUNC PyInit__ttsx_wavio(void) {
+    import_array();
+    return PyModule_Create(&moduledef);
+}
