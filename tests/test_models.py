@@ -263,3 +263,32 @@ def test_vq_straight_through_gradient():
     g = jax.grad(f)(x)
     # straight-through: d(out)/d(x) == identity
     assert jnp.allclose(g, 2.0)
+
+
+def test_generator_remat_checkpoint_compatible():
+    """VocoderConfig.remat must not change the param tree (checkpoints
+    swap freely) and must produce identical outputs."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from ttsx.core.config import VocoderConfig
+    from ttsx.models.vocoder import Generator
+
+    cfg = VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
+                        disc_ch_growth=2)
+    B, T = 2, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    args = (jax.random.normal(ks[0], (B, T, 80)),
+            jax.random.normal(ks[1], (B, T, 18)),
+            jax.random.normal(ks[2], (B, 16)),
+            jax.nn.softmax(jax.random.normal(ks[3], (B, 6))))
+    g0 = Generator(cfg)
+    g1 = Generator(dataclasses.replace(cfg, remat=True))
+    p0 = g0.init(jax.random.PRNGKey(1), *args)
+    p1 = g1.init(jax.random.PRNGKey(1), *args)
+    t0 = jax.tree_util.tree_structure(p0)
+    t1 = jax.tree_util.tree_structure(p1)
+    assert t0 == t1
+    w0 = g0.apply(p0, *args)
+    w1 = g1.apply(p0, *args)  # same params through the remat path
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=1e-6)

@@ -218,6 +218,16 @@ class VocoderConfig:
     # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
     # off by default until trained-quality validation (round-2 agenda)
     use_pallas_upsample: bool = False
+    # tensor parallelism: shard the leading band axis of the vmapped band
+    # tower over the mesh's "tp" axis (sharding constraints inside the
+    # generator; XLA inserts the gather at band_merge). Off by default —
+    # enable when running under a dp x tp Mesh with num_bands % tp == 0.
+    band_tp: bool = False
+    # rematerialize residual-block activations in the backward pass
+    # (jax.checkpoint via nn.remat): trades ~15% generator FLOPs for the
+    # post-upsample activation memory that dominates GAN training at
+    # large batch (activations live at T*prod(upsample) rate).
+    remat: bool = False
 
 
 # --------------------------------------------------------------------------

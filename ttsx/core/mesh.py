@@ -42,3 +42,23 @@ def shard_batch(batch, mesh: Mesh):
     """Place a pytree of [B, ...] arrays with the batch axis sharded on dp."""
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def maybe_constrain(x, *spec_axes):
+    """with_sharding_constraint(x, P(*spec_axes)) IF a context mesh with
+    those axes is active (jax.set_mesh / shard_map), else identity.
+
+    Lets models carry sharding annotations (e.g. the vocoder's band_tp
+    tensor parallelism) that engage only under a Mesh — init and
+    single-device paths stay annotation-free instead of raising
+    "requires a non-empty mesh in context"."""
+    import jax
+    from jax.sharding import PartitionSpec, get_abstract_mesh
+
+    m = get_abstract_mesh()
+    if m is None or m.empty:
+        return x
+    names = set(m.axis_names)
+    if not all(a is None or a in names for a in spec_axes):
+        return x
+    return jax.lax.with_sharding_constraint(x, PartitionSpec(*spec_axes))

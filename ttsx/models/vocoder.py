@@ -117,13 +117,15 @@ class BandTower(nn.Module):
                                     kernel_size=2 * factor,
                                     name=f"up_{i}")(x)
             ch //= 2
+            # NB: use_pallas stays False here — the fused resblock
+            # kernel measured 2.3x SLOWER than XLA on TPU (overlapping
+            # window materialization + sub-MXU matmul shapes); the
+            # ConvT upsample fusion above is the one that pays.
+            Block = (nn.remat(FiLMResidualBlock) if cfg.remat
+                     else FiLMResidualBlock)
             for j, dil in enumerate(cfg.res_dilations):
-                # NB: use_pallas stays False here — the fused resblock
-                # kernel measured 2.3x SLOWER than XLA on TPU (overlapping
-                # window materialization + sub-MXU matmul shapes); the
-                # ConvT upsample fusion above is the one that pays.
-                x = FiLMResidualBlock(ch, dil, cfg.cond_dim,
-                                      name=f"res_{i}_{j}")(x, cond)
+                x = Block(ch, dil, cfg.cond_dim,
+                          name=f"res_{i}_{j}")(x, cond)
             if i == len(cfg.upsample_factors) // 2:
                 x = SelfAttention1d(ch, name=f"attn_{i}")(x)
         return x
@@ -168,6 +170,14 @@ class Generator(nn.Module):
         # dp-sharded batches incur no resharding collectives.
         bands = mel.reshape(B, T, nb, band_size)            # [B,T,nb,bs]
         bands = jnp.moveaxis(bands, 2, 0)                   # [nb,B,T,bs]
+        if cfg.band_tp:
+            # tensor parallelism: bands over "tp", batch over "dp". The
+            # tower params are shared (replicated), so each tp device
+            # runs its band slice; XLA all-gathers over tp only at the
+            # band_merge reshape below. Engages only under an active
+            # jax.set_mesh context (no-op at init / single device).
+            from ttsx.core.mesh import maybe_constrain
+            bands = maybe_constrain(bands, "tp", "dp")
 
         class _Tower(nn.Module):
             vcfg: VocoderConfig
@@ -184,6 +194,9 @@ class Generator(nn.Module):
             split_rngs={"params": False},
         )(cfg, name="band_tower")
         h = tower(bands, cond)                              # [nb,B,T*up,ch]
+        if cfg.band_tp:
+            from ttsx.core.mesh import maybe_constrain
+            h = maybe_constrain(h, "tp", "dp")
 
         up = 1
         for f in cfg.upsample_factors:
