@@ -217,3 +217,48 @@ def test_native_wavio_matches_scipy_path(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         wavio.read_wav(str(bad))
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_wav_batch_loader(tmp_path, native):
+    """Prefetch executor (native pthreads pool + Python-thread fallback):
+    batch shapes, label/content alignment, clean shutdown."""
+    from ttsx.data import WavBatchLoader
+    from ttsx import native as native_pkg
+
+    if native and native_pkg.prefetch is None:
+        pytest.skip("no C toolchain")
+    items = []
+    for i in range(5):
+        wav = np.full(3000 + 200 * i, (i + 1) / 10.0, np.float32)
+        p = tmp_path / f"f{i}.wav"
+        write_wav(p, wav, 16000)
+        items.append((str(p), i))
+    with WavBatchLoader(items, crop=2048, batch=3, workers=2, depth=2,
+                        seed=7, native=native) as loader:
+        assert loader.is_native == native
+        for wav, lab in zip(loader, range(4)):
+            pass
+        wav, lab = loader.next()
+        assert wav.shape == (3, 2048) and wav.dtype == np.float32
+        assert lab.shape == (3,) and lab.dtype == np.int32
+        for b in range(3):
+            # constant-amplitude files: crop content identifies the file
+            assert abs(wav[b].max() - (lab[b] + 1) / 10.0) < 2e-2
+        if native:
+            produced, consumed, errors = loader.stats()
+            assert produced >= consumed and errors == 0
+
+
+def test_wav_batch_loader_pads_short_files(tmp_path):
+    from ttsx.data import WavBatchLoader
+
+    p = tmp_path / "short.wav"
+    write_wav(p, np.full(500, 0.5, np.float32), 16000)
+    with WavBatchLoader([(str(p), 0)], crop=2048, batch=2,
+                        workers=1, depth=1, native=None) as loader:
+        wav, lab = loader.next()
+        assert wav.shape == (2, 2048)
+        # first 500 samples data, rest zero-padded
+        assert abs(wav[0, :500].max() - 0.5) < 2e-2
+        assert np.all(wav[:, 600:] == 0.0)

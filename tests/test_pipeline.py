@@ -401,3 +401,38 @@ def test_rule_calibration_harness(tmp_path):
     import json as _json
     lc = _json.loads((tmp_path / "learned_confidences.json").read_text())
     assert "bins" in lc and "ece" in lc
+
+
+def test_gnn_triplet_training_improves_separation():
+    """train() must do true gradient descent on the triplet loss: after
+    refinement, same-label GAT outputs are closer than different-label
+    ones by a wider margin, and the loss it returns decreases."""
+    from ttsx.pipeline.diarizer import GNNClusterer
+
+    rng = np.random.default_rng(3)
+    # two heavily overlapping speaker clouds in 16-d
+    c0, c1 = rng.normal(size=(2, 16))
+    embs = np.concatenate([
+        c0 + 1.5 * rng.normal(size=(12, 16)),
+        c1 + 1.5 * rng.normal(size=(12, 16))]).astype(np.float32)
+    labels = np.asarray([0] * 12 + [1] * 12)
+
+    def margin_of(cl):
+        e = embs / (np.linalg.norm(embs, axis=1, keepdims=True) + 1e-8)
+        adj = (e @ e.T) > cl.sim_threshold
+        np.fill_diagonal(adj, True)
+        h = cl._forward(e, adj)
+        d = ((h[:, None] - h[None]) ** 2).sum(-1)
+        same = labels[:, None] == labels[None]
+        np.fill_diagonal(same, False)
+        return d[~same & ~np.eye(len(h), dtype=bool)].mean() - d[same].mean()
+
+    cl = GNNClusterer(dim=16, seed=0, lr=0.05)
+    cl.cluster_embeddings(embs)  # initialize weights
+    before = margin_of(cl)
+    l_first = cl.train(embs, labels, margin=1.0, steps=1)
+    l_last = cl.train(embs, labels, margin=1.0, steps=40)
+    after = margin_of(cl)
+    assert np.isfinite(l_last)
+    assert l_last < l_first
+    assert after > before + 0.5

@@ -8,3 +8,4 @@ from ttsx.data.collate import (
 from ttsx.data.synthetic import synthetic_batch, synthetic_stream
 from ttsx.data.refenc_dataset import RefEncDataset, ProsodyManifestDataset
 from ttsx.data.adapters import collator_to_trainer_batch
+from ttsx.data.prefetch import WavBatchLoader

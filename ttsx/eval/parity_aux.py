@@ -142,11 +142,20 @@ def diarizer_parity(n_speakers: int = 3, n_turns: int = 12,
 
 
 # ---------------------------------------------------------------------------
+def _lazy(name):
+    def run(**kw):
+        from ttsx.eval import parity_e2e
+        return getattr(parity_e2e, name)(**kw)
+    return run
+
+
 EXPERIMENTS = {
     "refenc": refenc_parity,
     "acoustic": acoustic_parity,
     "refiner": refiner_parity,
     "vocoder": vocoder_gan_smoke,
+    "vocoder_quality": _lazy("vocoder_parity"),
+    "e2e": _lazy("e2e_parity"),
     "diarizer": diarizer_parity,
 }
 
@@ -162,7 +171,12 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    names = list(EXPERIMENTS) if args.exp == "all" else [args.exp]
+    # "all" = the standard per-stage set; the heavyweight chained runs
+    # (vocoder_quality trains a full GAN, e2e re-trains three stages)
+    # stay opt-in by name
+    heavy = {"vocoder_quality", "e2e"}
+    names = ([n for n in EXPERIMENTS if n not in heavy]
+             if args.exp == "all" else [args.exp])
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     results = {}

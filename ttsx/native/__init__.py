@@ -1,16 +1,23 @@
 """First-party native (C) host components.
 
 The TPU compute path is jax/XLA/Pallas; everything host-side that sits on
-the data-loading hot path is a candidate for native code. First member:
-`_ttsx_wavio`, a single-pass RIFF/WAVE decoder (parse -> mono-mix ->
-normalize -> linear resample straight into the output numpy buffer),
-replacing the scipy read + two numpy temporaries per file in
-`ttsx.data.dataset.read_wav` (reference decodes via torchaudio's C++
-readers inside dataloader workers, data_loading1/data.set.py:26-158).
+the data-loading hot path is a candidate for native code. Members:
 
-The extension is compiled on first import with the toolchain in the image
+  * `_ttsx_wavio` — single-pass RIFF/WAVE decoder (parse -> mono-mix ->
+    normalize -> linear resample straight into the output numpy buffer),
+    replacing the scipy read + two numpy temporaries per file in
+    `ttsx.data.dataset.read_wav` (reference decodes via torchaudio's C++
+    readers inside dataloader workers, data_loading1/data.set.py:26-158).
+  * `_ttsx_prefetch` — pthreads data-loading executor: a worker pool
+    decodes + random-crops wavs and assembles whole [batch, crop] batches
+    into a bounded ring buffer entirely outside the GIL (the ttsx
+    equivalent of the reference's DataLoader(num_workers=4) worker
+    processes, reference_encoder/train.py:52-69). Both share the decode
+    core in wav_core.h.
+
+Extensions are compiled on first import with the toolchain in the image
 and cached next to this file; import falls back to None (callers keep the
-scipy path) if no compiler is available. Build explicitly with
+Python paths) if no compiler is available. Build explicitly with
 `python -m ttsx.native.build`.
 """
 from __future__ import annotations
@@ -20,23 +27,26 @@ import sysconfig
 from pathlib import Path
 
 _HERE = Path(__file__).parent
-_SO = _HERE / ("_ttsx_wavio" + (sysconfig.get_config_var("EXT_SUFFIX")
-                                or ".so"))
+_EXT = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+_SOURCES = {
+    "_ttsx_wavio": ["wavio.c"],
+    "_ttsx_prefetch": ["prefetch.c"],
+}
+_SHARED_HDRS = ["wav_core.h"]
 
 
-def build(verbose: bool = False) -> bool:
-    """Compile wavio.c -> _ttsx_wavio*.so next to this file."""
+def _build_one(mod: str, verbose: bool = False) -> bool:
     import subprocess
 
     import numpy as np
 
-    src = _HERE / "wavio.c"
     cc = os.environ.get("CC", "gcc")
     cmd = [
-        cc, "-O3", "-shared", "-fPIC", "-std=c11",
+        cc, "-O3", "-shared", "-fPIC", "-std=c11", "-pthread",
         f"-I{sysconfig.get_paths()['include']}",
         f"-I{np.get_include()}",
-        str(src), "-o", str(_SO),
+        *[str(_HERE / s) for s in _SOURCES[mod]],
+        "-o", str(_HERE / (mod + _EXT)),
     ]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -47,17 +57,27 @@ def build(verbose: bool = False) -> bool:
     return r.returncode == 0
 
 
-def _load():
-    if not _SO.exists() or _SO.stat().st_mtime < (_HERE / "wavio.c").stat().st_mtime:
-        if not build():
+def build(verbose: bool = False) -> bool:
+    """Compile every native extension next to this file."""
+    return all(_build_one(m, verbose) for m in _SOURCES)
+
+
+def _load(mod: str):
+    so = _HERE / (mod + _EXT)
+    srcs = [_HERE / s for s in _SOURCES[mod]] + \
+           [_HERE / h for h in _SHARED_HDRS]
+    if not so.exists() or so.stat().st_mtime < max(s.stat().st_mtime
+                                                  for s in srcs):
+        if not _build_one(mod):
             return None
     try:
-        from ttsx.native import _ttsx_wavio  # type: ignore
-        return _ttsx_wavio
+        import importlib
+        return importlib.import_module(f"ttsx.native.{mod}")
     except ImportError:
         return None
 
 
-wavio = _load()
+wavio = _load("_ttsx_wavio")
+prefetch = _load("_ttsx_prefetch")
 
-__all__ = ["wavio", "build"]
+__all__ = ["wavio", "prefetch", "build"]
