@@ -292,3 +292,21 @@ def test_generator_remat_checkpoint_compatible():
     w0 = g0.apply(p0, *args)
     w1 = g1.apply(p0, *args)  # same params through the remat path
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=1e-6)
+
+
+def test_generator_unsaturated_with_raw_scale_conditioning():
+    """Large-scale prosody conditioning (raw MFCC dims reach std ~9) must
+    not rail the output tanh: zero-init FiLM + cond LayerNorm keep the
+    init output linear. A railed tanh is a square wave with zero gradient
+    — the failure measured as a GAN vocoder that never learned amplitude."""
+    g = Generator(VOC_SMALL)
+    mel = jax.random.normal(K, (B, T, VOC_SMALL.channels))
+    pros = jax.random.normal(jax.random.PRNGKey(1), (B, T, 18)) * 9.0
+    style = jax.random.normal(jax.random.PRNGKey(2),
+                              (B, VOC_SMALL.style_dim)) * 5.0
+    emo = jnp.full((B, 6), 1.0 / 6.0)
+    p = g.init(K, mel, pros, style, emo)
+    wav = g.apply(p, mel, pros, style, emo)
+    sat = float(jnp.mean(jnp.abs(wav) > 0.999))
+    assert sat < 0.01, f"tanh saturation {sat:.3f}"
+    assert float(jnp.sqrt(jnp.mean(wav ** 2))) < 0.9

@@ -206,6 +206,9 @@ class VocoderConfig:
     sr: int = 22050
     hop_length: int = 256
     stft_sizes: Tuple[int, ...] = (512, 1024, 2048)
+    # add log-magnitude L1 to the multi-res STFT loss (standard GAN-vocoder
+    # auxiliary pair; linear-mag alone gives low-energy bins ~no gradient)
+    stft_log_mag: bool = True
     num_style_tokens: int = 10
     dropout_prob: float = 0.1      # classifier-free guidance dropout
     r1_gamma: float = 10.0

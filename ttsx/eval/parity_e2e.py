@@ -54,8 +54,11 @@ def _wav_quality(wav_fake: np.ndarray, wav_real: np.ndarray) -> Dict:
         mr = np.asarray(stft_magnitude(jnp.asarray(wav_real), n_fft, hop))
         stft_l1.append(float(np.mean(np.abs(np.log(mf + 1e-5)
                                             - np.log(mr + 1e-5)))))
+    rms = lambda w: float(np.sqrt(np.mean(np.square(w)) + 1e-12))
     return {"wav_mcd_db": float(np.mean(mcds)),
-            "stft_log_l1": float(np.mean(stft_l1))}
+            "stft_log_l1": float(np.mean(stft_l1)),
+            # amplitude sanity: ~1.0 when the generator reproduces energy
+            "rms_ratio": rms(wav_fake) / rms(wav_real)}
 
 
 def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
@@ -71,6 +74,7 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
     first = {k: jnp.asarray(v) for k, v in next(sampler).items()}
     states = block.init_state(jax.random.PRNGKey(seed), first)
     d_hist, g_hist = [], []
+    parts_hist = {"stft": [], "adv": [], "fm": []}
     t0 = time.perf_counter()
     for _ in range(steps):
         mb = {k: jnp.asarray(v) for k, v in next(sampler).items()}
@@ -78,11 +82,18 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
         states, gm = block.gen_step(states, mb)
         d_hist.append(float(dm["d_loss"]))
         g_hist.append(float(gm["g_loss"]))
+        for k in parts_hist:
+            if k in gm:
+                parts_hist[k].append(float(gm[k]))
     secs = time.perf_counter() - t0
-    tail = {"d_loss_tail_mean": float(np.mean(d_hist[-100:])),
-            "g_loss_tail_mean": float(np.mean(g_hist[-100:])),
-            "stable": bool(np.isfinite(d_hist).all()
-                           and np.isfinite(g_hist).all())}
+    tail = {}
+    if d_hist:
+        tail = {"d_loss_tail_mean": float(np.mean(d_hist[-100:])),
+                "g_loss_tail_mean": float(np.mean(g_hist[-100:])),
+                "stable": bool(np.isfinite(d_hist).all()
+                               and np.isfinite(g_hist).all())}
+        tail.update({f"{k}_tail_mean": float(np.mean(v[-100:]))
+                     for k, v in parts_hist.items() if v})
     return block, states, secs, tail
 
 
@@ -137,14 +148,20 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
     q_rand = _wav_quality(wav_rand, ev["wav"][:len(wav_rand), :, 0])
 
     block, states, secs, tail = _train_vocoder(cfg, tr, steps, batch, seed)
-    wav_fake = _synth_wav(block, states, ev["mel"], ev, batch)
+    # live params are the honest read for short runs: at decay 0.999 the
+    # EMA still carries 0.999^steps of the random init (13.5% @ 2k steps)
+    wav_fake = _synth_wav(block, states, ev["mel"], ev, batch,
+                          use_ema=False)
     q = _wav_quality(wav_fake, ev["wav"][:len(wav_fake), :, 0])
+    wav_ema = _synth_wav(block, states, ev["mel"], ev, batch, use_ema=True)
+    q_ema = _wav_quality(wav_ema, ev["wav"][:len(wav_ema), :, 0])
 
     res: Dict = {"exp": "vocoder_quality", "steps": steps,
                  "train_seconds": secs, "eval_utts": int(len(wav_fake)),
                  "space": "generator input is per-utterance-normalized "
                           "log-mel; quality measured on raw waveforms",
                  **{k: v for k, v in q.items()},
+                 **{f"{k}_ema": v for k, v in q_ema.items()},
                  **{f"{k}_random_weights": v for k, v in q_rand.items()},
                  **tail}
     if return_states:
@@ -213,8 +230,10 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
     voc.pop("_corpus", None)
 
     wav_real = ev_cut["wav"][:, :frames * hop, 0]
-    wav_e2e = _synth_wav(v_block, v_states, mel_ref, ev_model, 4)
-    wav_copy = _synth_wav(v_block, v_states, ev_model["mel"], ev_model, 4)
+    wav_e2e = _synth_wav(v_block, v_states, mel_ref, ev_model, 4,
+                         use_ema=False)
+    wav_copy = _synth_wav(v_block, v_states, ev_model["mel"], ev_model, 4,
+                          use_ema=False)
     n = len(wav_e2e)
     return {"exp": "e2e",
             "acoustic_mcd_db": base["mcd_db"],

@@ -71,7 +71,13 @@ class FiLMResidualBlock(nn.Module):
         if Tc != T:
             idx = jnp.clip((jnp.arange(T) * Tc) // T, 0, Tc - 1)
             cond = cond[:, idx, :]
-        film = nn.Dense(2 * self.channels)(cond)
+        # zero-init FiLM projection: every block starts as identity
+        # modulation (scale=shift=0), so activation variance cannot
+        # compound across the 12-block stack at init — with lecun init
+        # and real prosody conditioning the pre-tanh std measured 4.5e3
+        # (99.8% tanh saturation = square-wave output, dead gradients)
+        film = nn.Dense(2 * self.channels,
+                        kernel_init=nn.initializers.zeros)(cond)
         scale, shift = jnp.split(film, 2, axis=-1)
 
         if self.use_pallas and self.kernel_size == 3:
@@ -164,6 +170,9 @@ class Generator(nn.Module):
         if emo_drop:
             c_emo = jnp.zeros_like(c_emo)
         cond = c_pros + c_sty + c_emo  # [B, T, cond_dim]
+        # keep the FiLM conditioning O(1) regardless of the prosody
+        # feature scale (raw MFCC dims reach std ~9 on real features)
+        cond = nn.LayerNorm(name="cond_norm")(cond)
 
         # split mel into channel bands and vmap ONE shared tower over the
         # band axis. The band axis leads; the batch axis is untouched, so
@@ -339,28 +348,47 @@ class MultiBandDiscriminator(nn.Module):
 # learnable multi-resolution STFT loss (vocoder7/stft.py)
 # ---------------------------------------------------------------------------
 class LearnableSTFT(nn.Module):
-    """|STFT| x learnable filterbank. wav: [B, T, 1] -> [B, frames, n_bins]."""
+    """|STFT| x learnable filterbank. wav: [B, T, 1] -> [B, frames, n_bins].
+
+    The filterbank starts at ones (identity scaling): the loss begins as a
+    plain multi-resolution magnitude distance and the filterbank can be
+    adapted deliberately. (A zero-mean random init leaves ~half the bins
+    nearly unweighted and the spectral objective starts out arbitrary —
+    measured as a near-silent generator after a 2000-step GAN run.)"""
     n_fft: int
     hop_length: int
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
         from ttsx.dsp.stft import stft_magnitude
-        fb = self.param("filterbank", nn.initializers.normal(1.0),
+        fb = self.param("filterbank", nn.initializers.ones,
                         (self.n_fft // 2 + 1,))
         mag = stft_magnitude(wav[..., 0], self.n_fft, self.hop_length)
         return mag * fb[None, None, :]
 
 
 class STFTLoss(nn.Module):
-    """Multi-resolution L1 magnitude loss x lambda_stft (stft.py:37-54)."""
+    """Multi-resolution magnitude loss x lambda_stft (stft.py:37-54).
+
+    Linear-magnitude L1 through the learnable filterbank (the reference
+    formula) plus, when cfg.stft_log_mag, a log-magnitude L1 term — the
+    standard GAN-vocoder auxiliary pair; without it low-energy bins get
+    vanishing gradient and amplitude converges extremely slowly."""
     cfg: VocoderConfig = dataclasses.field(default_factory=VocoderConfig)
 
     @nn.compact
     def __call__(self, wav_fake: jnp.ndarray, wav_real: jnp.ndarray):
+        from ttsx.dsp.stft import stft_magnitude
         loss = 0.0
         for n_fft in self.cfg.stft_sizes:
             st = LearnableSTFT(n_fft, self.cfg.hop_length,
                                name=f"stft_{n_fft}")
             loss = loss + jnp.mean(jnp.abs(st(wav_fake) - st(wav_real)))
+            if self.cfg.stft_log_mag:
+                mf = stft_magnitude(wav_fake[..., 0], n_fft,
+                                    self.cfg.hop_length)
+                mr = stft_magnitude(wav_real[..., 0], n_fft,
+                                    self.cfg.hop_length)
+                loss = loss + jnp.mean(jnp.abs(jnp.log(mf + 1e-5)
+                                               - jnp.log(mr + 1e-5)))
         return loss * self.cfg.lambda_stft
