@@ -64,3 +64,50 @@ def test_refenc_eer_cli(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "eer" in out and out["n"] == 4
+
+
+def test_refenc_train_eer_fuse_cli(tmp_path, capsys):
+    """refenc-train -> checkpoint -> refenc-eer --checkpoint -> refenc-fuse
+    (the reference's refenc-train/-eer/-fuse console-script chain)."""
+    from ttsx.cli.main import (main_refenc_train, main_refenc_eer,
+                               main_refenc_fuse)
+
+    rng = np.random.default_rng(0)
+    sr = 22050
+    lines = []
+    for spk, f0 in (("a", 150.0), ("b", 320.0)):
+        for i in range(3):
+            t = np.arange(int(1.2 * sr)) / sr
+            wav = (0.3 * np.sin(2 * np.pi * f0 * t)
+                   + 0.15 * np.sin(2 * np.pi * 2 * f0 * t)
+                   + 0.01 * rng.normal(size=len(t))).astype(np.float32)
+            p = tmp_path / f"{spk}{i}.wav"
+            write_wav(p, wav, sr)
+            lines.append(f"{p}\t{spk}")
+    flist = tmp_path / "list.tsv"
+    flist.write_text("\n".join(lines))
+
+    out = tmp_path / "run"
+    rc = main_refenc_train(["--device", "cpu", str(flist),
+                            "--eval-list", str(flist),
+                            "--max-steps", "4", "--batch", "2",
+                            "--crop-seconds", "0.8", "--eval-every", "2",
+                            "--output-dir", str(out)])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["steps"] == 4 and res["n_speakers"] == 2
+    assert (out / "checkpoints").exists()
+
+    rc = main_refenc_eer(["--device", "cpu", str(flist),
+                          "--checkpoint", str(out / "checkpoints")])
+    assert rc == 0
+    eer = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= eer["eer"] <= 1.0 and eer["n"] == 6
+
+    hlo = tmp_path / "enc.hlo"
+    rc = main_refenc_fuse(["--device", "cpu",
+                           "--checkpoint", str(out / "checkpoints"),
+                           "--out", str(hlo)])
+    assert rc == 0
+    fuse = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fuse["aot_compiled"] and hlo.stat().st_size == fuse["bytes"] > 0
