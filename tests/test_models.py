@@ -310,3 +310,24 @@ def test_generator_unsaturated_with_raw_scale_conditioning():
     sat = float(jnp.mean(jnp.abs(wav) > 0.999))
     assert sat < 0.01, f"tanh saturation {sat:.3f}"
     assert float(jnp.sqrt(jnp.mean(wav ** 2))) < 0.9
+
+
+def test_stft_loss_identity_init_and_amplitude_gradient():
+    """The learnable filterbank starts at ones (identity scaling), and the
+    log-magnitude term gives a low-amplitude fake a usable gradient signal
+    (linear-mag alone starves low-energy bins)."""
+    import dataclasses
+
+    wav_real = jax.random.normal(K, (B, 2048, 1)) * 0.1
+    sl = STFTLoss(VOC_SMALL)
+    p = sl.init(K, wav_real, wav_real)
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert jnp.all(leaf == 1.0)  # every param is a filterbank at ones
+
+    # quiet output must be penalized much more steeply in log space
+    lin_only = STFTLoss(dataclasses.replace(VOC_SMALL, stft_log_mag=False))
+    p_lin = lin_only.init(K, wav_real, wav_real)
+    quiet = wav_real * 1e-3
+    full = float(sl.apply(p, quiet, wav_real))
+    lin = float(lin_only.apply(p_lin, quiet, wav_real))
+    assert full > lin > 0.0
