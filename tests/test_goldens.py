@@ -89,6 +89,8 @@ def test_model_forward_moments():
         jnp.zeros((1,), jnp.int32))
     wav_std = float(jnp.std(out.wav))
     mel_std = float(jnp.std(out.mel0))
-    # values recorded 2026-08-16 (round 1); loose 20% guard band
-    assert 0.8 * 0.02 < wav_std < 5.0, wav_std
+    # wav_std 0.0116 re-recorded 2026-08-17 after the zero-init-FiLM +
+    # cond-LayerNorm change (the untrained generator is deliberately
+    # quieter now — round-1 value was 0.02); loose guard band
+    assert 0.5 * 0.0116 < wav_std < 5.0, wav_std
     assert np.isfinite(mel_std) and mel_std > 0
