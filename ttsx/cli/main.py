@@ -242,8 +242,12 @@ if __name__ == "__main__":
     sys.exit(main_observer())
 
 
-# refenc console scripts live in ttsx/cli/refenc.py (LoC gate);
-# re-exported here so `from ttsx.cli.main import main_refenc_*` keeps
-# working for tests and existing imports
-from ttsx.cli.refenc import (main_refenc_train, main_refenc_eer,  # noqa: E402,F401
-                             main_refenc_latency, main_refenc_fuse)
+# refenc console scripts live in ttsx/cli/refenc.py (LoC gate); lazy
+# re-export keeps `from ttsx.cli.main import main_refenc_*` working for
+# tests and existing imports without a circular-import hazard (refenc.py
+# imports this module for add_common_args)
+def __getattr__(name):
+    if name.startswith("main_refenc_"):
+        from ttsx.cli import refenc
+        return getattr(refenc, name)
+    raise AttributeError(name)

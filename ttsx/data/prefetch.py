@@ -57,18 +57,24 @@ class WavBatchLoader:
                     wav = np.zeros((self.batch, self.crop), np.float32)
                     lab = np.zeros(self.batch, np.int32)
                     for b in range(self.batch):
-                        i = int(rng.integers(len(paths)))
-                        try:
-                            w, _ = read_wav(paths[i], sample_rate)
-                        except (OSError, ValueError):
-                            continue
-                        if len(w) >= self.crop:
-                            s = int(rng.integers(
-                                0, len(w) - self.crop + 1))
-                            wav[b] = w[s:s + self.crop]
-                        else:
-                            wav[b, :len(w)] = w
-                        lab[b] = labels[i]
+                        # retry other files on decode failure so a bad
+                        # file can neither poison the batch nor leave a
+                        # zero wav mislabeled as speaker 0 (mirrors the
+                        # native executor's bounded retry)
+                        for _ in range(17):
+                            i = int(rng.integers(len(paths)))
+                            try:
+                                w, _ = read_wav(paths[i], sample_rate)
+                            except (OSError, ValueError):
+                                continue
+                            if len(w) >= self.crop:
+                                s = int(rng.integers(
+                                    0, len(w) - self.crop + 1))
+                                wav[b] = w[s:s + self.crop]
+                            else:
+                                wav[b, :len(w)] = w
+                            lab[b] = labels[i]
+                            break
                     while not self._stop.is_set():
                         try:
                             self._q.put((wav, lab), timeout=0.1)
