@@ -262,3 +262,22 @@ def test_wav_batch_loader_pads_short_files(tmp_path):
         # first 500 samples data, rest zero-padded
         assert abs(wav[0, :500].max() - 0.5) < 2e-2
         assert np.all(wav[:, 600:] == 0.0)
+
+
+def test_native_wavio_rejects_malformed_float_bits(tmp_path):
+    """A wav claiming IEEE-float with bits=16 must be rejected, not
+    decoded: the float path reads 4/8 bytes per sample, so trusting the
+    claimed 2-byte stride would read past the file buffer."""
+    from ttsx import native
+    if native.wavio is None:
+        pytest.skip("no C toolchain")
+    import struct
+    data = np.zeros(64, np.int16).tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000,
+                                   32000, 2, 16)  # fmt=3 float, bits=16
+           + b"data" + struct.pack("<I", len(data)) + data)
+    p = tmp_path / "bad_float.wav"
+    p.write_bytes(hdr)
+    with pytest.raises(ValueError):
+        native.wavio.read_wav(str(p))

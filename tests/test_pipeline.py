@@ -99,19 +99,8 @@ def test_emotion_vocabulary_matches_reference():
 
 def test_every_emotion_rule_reachable():
     """No rule may be dead or fully shadowed by an earlier first-match rule."""
-    kws = sorted({w for r in ["scared terrified afraid hopeless desperate",
-                              "worried nervous anxious disdain scorn contempt",
-                              "revolting gross disgusting annoyed frustrated",
-                              "sorry regret fault irritated bothered envy",
-                              "jealous unfair alone isolated lonely shock",
-                              "shocked unexpected funny amused laugh haha",
-                              "excited enthusiastic thankful grateful thank",
-                              "inspired motivated love affection hopeful",
-                              "optimistic hope relieved eased relief pleasant",
-                              "nice bored uninterested focused attentive",
-                              "monotone flat unsure hesitant um factual",
-                              "informative exhausted weary tired despair"]
-                  for w in r.split()})
+    # derived from the Rule data — keyword edits cannot desync this test
+    kws = sorted(set().union(*(r.keywords for r in emotion_utils.RULES)))
     rng = np.random.default_rng(0)
     seen = set()
     for _ in range(60000):
@@ -436,3 +425,17 @@ def test_gnn_triplet_training_improves_separation():
     assert np.isfinite(l_last)
     assert l_last < l_first
     assert after > before + 0.5
+
+
+def test_negation_guard_survives_punctuation():
+    """invert_if_negated must tokenize like polarity_scores: a negation
+    already handled by the scorer's 3-word window must not be re-flipped
+    just because the sentiment word carries sentence punctuation."""
+    from ttsx.pipeline import polarity_scores
+    from ttsx.pipeline.tiers import invert_if_negated
+
+    for text in ("we are not safe.", "we are not safe"):
+        scores = polarity_scores(text)
+        out = invert_if_negated(text, scores)
+        assert out == scores, text  # scorer already inverted; no re-flip
+        assert out["compound"] < 0, text  # and the result reads negative

@@ -104,8 +104,10 @@ def main_refenc_train(argv=None):
     with WavBatchLoader(balanced, crop=crop,
                         batch=args.batch, sample_rate=sr,
                         workers=args.workers, seed=args.seed) as loader:
+        # drop batches containing undecodable rows (label -1 sentinel)
+        stream = ((to_mel(w), l) for w, l in loader if (l >= 0).all())
         res = trainer.train(
-            ((to_mel(w), l) for w, l in loader), eval_fn=eval_fn,
+            stream, eval_fn=eval_fn,
             max_steps=args.max_steps,
             checkpoint_dir=str(out / "checkpoints"),
             rng=jax.random.PRNGKey(args.seed))

@@ -24,7 +24,10 @@ class WavBatchLoader:
 
     Random sampling with replacement (the training regime of
     RefEncTrainer / parity harnesses); random crop start per item; short
-    files are zero-padded to `crop`.
+    files are zero-padded to `crop`. Decode failures retry other files
+    (bounded); a row whose retries are exhausted carries label -1 and a
+    zero waveform — filter with `lab >= 0` when the dataset may contain
+    broken files.
     """
 
     def __init__(self, items: Sequence[Tuple[str, int]], crop: int,
@@ -56,11 +59,12 @@ class WavBatchLoader:
                 while not self._stop.is_set():
                     wav = np.zeros((self.batch, self.crop), np.float32)
                     lab = np.zeros(self.batch, np.int32)
+                    lab[:] = -1  # sentinel: row stays -1 unless decoded
                     for b in range(self.batch):
                         # retry other files on decode failure so a bad
                         # file can neither poison the batch nor leave a
                         # zero wav mislabeled as speaker 0 (mirrors the
-                        # native executor's bounded retry)
+                        # native executor's bounded retry + -1 sentinel)
                         for _ in range(17):
                             i = int(rng.integers(len(paths)))
                             try:

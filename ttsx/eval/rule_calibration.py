@@ -37,23 +37,9 @@ from ttsx.pipeline.sentiment import LEXICON, polarity_scores
 
 _PROSODY_DIMS = ("pitch", "energy", "speech_rate", "pause", "pitch_var",
                  "energy_var")
-# union of every keyword mentioned by a rule, recovered by probing each
-# rule with single-word keyword sets (lambdas are opaque; probing is not)
-_WORDS = sorted({w for ws in [
-    ("scared", "terrified", "afraid"), ("hopeless", "desperate", "despair"),
-    ("worried", "nervous", "anxious"), ("disdain", "scorn", "contempt"),
-    ("revolting", "gross", "disgusting"), ("annoyed", "frustrated", "ugh"),
-    ("sorry", "regret", "fault"), ("irritated", "bothered", "annoying"),
-    ("envy", "jealous", "unfair"), ("alone", "isolated", "lonely"),
-    ("shock", "shocked", "unexpected"), ("funny", "amused", "laugh", "haha"),
-    ("excited", "enthusiastic", "awesome"),
-    ("thankful", "grateful", "thank", "thanks"),
-    ("inspired", "motivated", "inspiring"), ("love", "affection", "darling"),
-    ("hopeful", "optimistic", "hope"), ("relieved", "eased", "relief"),
-    ("pleasant", "nice", "lovely"), ("bored", "uninterested", "boring"),
-    ("focused", "attentive", "focus"), ("monotone", "flat"),
-    ("unsure", "hesitant", "um", "uh"), ("factual", "informative"),
-    ("exhausted", "weary", "tired")] for w in ws})
+# union of every keyword mentioned by a rule — derived from the Rule
+# data, so rule-keyword edits can never desynchronize the harness
+_WORDS = sorted(set().union(*(r.keywords for r in EU.RULES)))
 
 
 def _sample_features(rng: np.random.Generator) -> EU.Features:

@@ -117,18 +117,24 @@ static void *worker_main(void *arg) {
              * poison a batch (matches the defensive per-item try/except
              * of the reference collator) */
             int tries = 0;
+            int32_t label = pf->labels[idx];
             while (load_item(pf, pf->paths[idx], &rng,
                              slot->wav + b * pf->crop) != 0) {
                 __sync_fetch_and_add(&pf->decode_errors, 1);
                 idx = xorshift64(&rng) % pf->n_files;
+                label = pf->labels[idx];
                 if (++tries > 16) {
+                    /* exhausted: zero wav + sentinel label -1, never a
+                     * real speaker id (silence labeled as a genuine
+                     * utterance would pollute that speaker's embedding;
+                     * consumers filter rows with label < 0) */
                     memset(slot->wav + b * pf->crop, 0,
                            pf->crop * sizeof(float));
-                    idx = 0;
+                    label = -1;
                     break;
                 }
             }
-            slot->label[b] = pf->labels[idx];
+            slot->label[b] = label;
         }
 
         pthread_mutex_lock(&pf->mu);

@@ -131,12 +131,18 @@ static inline float wav_decode_frame(const wav_info *w, size_t f) {
     return acc / (float)ch;
 }
 
-/* Validate a parsed header for decodability. Returns 0 ok. */
+/* Validate a parsed header for decodability. Returns 0 ok. Only the
+ * exact widths the decoder implements are accepted: IEEE float 32/64
+ * (a float wav claiming bits=16 would make the 64-bit branch read 8
+ * bytes per 2-byte stride — heap overread on the final frames), and
+ * PCM 8/16/24/32 (wider PCM would silently decode as silence). */
 static inline int wav_check(const wav_info *w) {
-    if (w->bits % 8 != 0 || w->bits == 0 || w->bits > 64 ||
-        (w->format != WAVE_FORMAT_PCM && w->format != WAVE_FORMAT_IEEE_FLOAT))
-        return -1;
-    return 0;
+    if (w->format == WAVE_FORMAT_IEEE_FLOAT)
+        return (w->bits == 32 || w->bits == 64) ? 0 : -1;
+    if (w->format == WAVE_FORMAT_PCM)
+        return (w->bits == 8 || w->bits == 16 || w->bits == 24 ||
+                w->bits == 32) ? 0 : -1;
+    return -1;
 }
 
 /* Decode (and optionally linear-resample, numpy.interp-over-linspace

@@ -88,14 +88,22 @@ class GNNClusterer(Clusterer):
         np.fill_diagonal(adj, True)
         rng = np.random.default_rng(self.seed)
 
+        # anchors need a same-label partner AND a different-label negative;
+        # skip singleton-cluster anchors instead of aborting (a single
+        # 1-member cluster is common with k=ceil(sqrt(n)) k-means)
+        counts = {l: int((labels == l).sum()) for l in set(labels.tolist())}
+        valid = np.asarray([i for i in range(len(e))
+                            if counts[labels[i]] >= 2
+                            and counts[labels[i]] < len(e)])
+        if len(valid) == 0:
+            return float("nan")  # fully degenerate: nothing to learn
+
         def sample_triplets():
             a, p, n_ = [], [], []
             while len(a) < triplets_per_step:
-                i = int(rng.integers(len(e)))
+                i = int(valid[rng.integers(len(valid))])
                 same = np.where(labels == labels[i])[0]
                 diff = np.where(labels != labels[i])[0]
-                if len(same) < 2 or len(diff) == 0:
-                    return None  # degenerate label set: nothing to learn
                 a.append(i)
                 p.append(int(rng.choice(same[same != i])))
                 n_.append(int(rng.choice(diff)))
@@ -127,8 +135,6 @@ class GNNClusterer(Clusterer):
             loss = 0.0
             for _ in range(steps):
                 trip = sample_triplets()
-                if trip is None:
-                    return float("nan")
                 val, grads = grad_fn(ws, *(jnp.asarray(t) for t in trip))
                 ws = [w - self.lr * g for w, g in zip(ws, grads)]
                 loss = float(val)

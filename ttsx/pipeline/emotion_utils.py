@@ -40,10 +40,20 @@ class Rule(NamedTuple):
     rule_id: str
     label: str
     fn: Callable[[Features], bool]
+    # keyword gate as DATA (empty = purely prosodic rule): harnesses and
+    # tests derive their word pools from here instead of hand-copying the
+    # sets buried in the lambdas (which silently desynchronizes on edits)
+    keywords: frozenset = frozenset()
 
 
-def _kw(*words):
-    return frozenset(words)
+def _krule(rule_id: str, label: str, cond: Callable[[Features], bool],
+           *words: str) -> Rule:
+    """Keyword-gated rule: fires when `cond` holds AND the slice mentions
+    one of `words`; the word set is carried on the Rule as data."""
+    k = frozenset(words)
+    return Rule(rule_id, label,
+                lambda f, _c=cond, _k=k: _c(f) and bool(f.keywords & _k),
+                k)
 
 
 # 31-emotion rule table using the reference's label vocabulary. First match
@@ -52,66 +62,70 @@ def _kw(*words):
 # falls back to it when nothing fires).
 RULES: List[Rule] = [
     # -- Negative (13) -----------------------------------------------------
-    Rule("R01", "Fear", lambda f: f.neg > 0.5 and f.pitch_var > 0.5
-         and bool(f.keywords & _kw("scared", "terrified", "afraid"))),
-    Rule("R02", "Despair", lambda f: f.neg > 0.6 and f.pitch < -0.4
-         and bool(f.keywords & _kw("hopeless", "desperate", "despair"))),
-    Rule("R03", "Anxiety", lambda f: f.neg > 0.45 and f.pitch_var > 0.35
-         and bool(f.keywords & _kw("worried", "nervous", "anxious"))),
-    Rule("R04", "Contempt", lambda f: f.neg > 0.4 and f.energy < -0.3
-         and bool(f.keywords & _kw("disdain", "scorn", "contempt"))),
-    Rule("R05", "Disgust", lambda f: f.neg > 0.5 and f.energy_var > 0.35
-         and bool(f.keywords & _kw("revolting", "gross", "disgusting"))),
-    Rule("R06", "Frustration", lambda f: f.neg > 0.45 and f.speech_rate > 0.35
-         and bool(f.keywords & _kw("annoyed", "frustrated", "ugh"))),
-    Rule("R07", "Guilt", lambda f: f.neg > 0.4 and f.pause > 0.3
-         and bool(f.keywords & _kw("sorry", "regret", "fault"))),
-    Rule("R08", "Irritation", lambda f: f.neg > 0.35 and f.pitch_var > 0.25
-         and bool(f.keywords & _kw("irritated", "bothered", "annoying"))),
-    Rule("R09", "Jealousy", lambda f: f.neg > 0.4 and f.energy > 0.3
-         and bool(f.keywords & _kw("envy", "jealous", "unfair"))),
-    Rule("R10", "Loneliness", lambda f: f.neg > 0.5 and f.speech_rate < -0.3
-         and bool(f.keywords & _kw("alone", "isolated", "lonely"))),
-    Rule("R11", "Negative Surprise", lambda f: f.neg > 0.35
-         and f.pitch_var > 0.7
-         and bool(f.keywords & _kw("shock", "shocked", "unexpected"))),
+    _krule("R01", "Fear", lambda f: f.neg > 0.5 and f.pitch_var > 0.5,
+           "scared", "terrified", "afraid"),
+    _krule("R02", "Despair", lambda f: f.neg > 0.6 and f.pitch < -0.4,
+           "hopeless", "desperate", "despair"),
+    _krule("R03", "Anxiety", lambda f: f.neg > 0.45 and f.pitch_var > 0.35,
+           "worried", "nervous", "anxious"),
+    _krule("R04", "Contempt", lambda f: f.neg > 0.4 and f.energy < -0.3,
+           "disdain", "scorn", "contempt"),
+    _krule("R05", "Disgust", lambda f: f.neg > 0.5 and f.energy_var > 0.35,
+           "revolting", "gross", "disgusting"),
+    _krule("R06", "Frustration",
+           lambda f: f.neg > 0.45 and f.speech_rate > 0.35,
+           "annoyed", "frustrated", "ugh"),
+    _krule("R07", "Guilt", lambda f: f.neg > 0.4 and f.pause > 0.3,
+           "sorry", "regret", "fault"),
+    _krule("R08", "Irritation",
+           lambda f: f.neg > 0.35 and f.pitch_var > 0.25,
+           "irritated", "bothered", "annoying"),
+    _krule("R09", "Jealousy", lambda f: f.neg > 0.4 and f.energy > 0.3,
+           "envy", "jealous", "unfair"),
+    _krule("R10", "Loneliness",
+           lambda f: f.neg > 0.5 and f.speech_rate < -0.3,
+           "alone", "isolated", "lonely"),
+    _krule("R11", "Negative Surprise",
+           lambda f: f.neg > 0.35 and f.pitch_var > 0.7,
+           "shock", "shocked", "unexpected"),
     Rule("R12", "Anger", lambda f: f.neg > 0.55 and f.pitch > 0.45),
     Rule("R13", "Sadness", lambda f: f.neg > 0.6 and f.pitch < -0.25),
     # -- Positive (10) -----------------------------------------------------
-    Rule("R14", "Amusement", lambda f: f.pos > 0.5 and f.energy_var > 0.35
-         and bool(f.keywords & _kw("funny", "amused", "laugh", "haha"))),
-    Rule("R15", "Enthusiasm", lambda f: f.pos > 0.6 and f.pitch > 0.4
-         and bool(f.keywords & _kw("excited", "enthusiastic", "awesome"))),
-    Rule("R16", "Gratitude", lambda f: f.pos > 0.55 and f.speech_rate < 0.2
-         and bool(f.keywords & _kw("thankful", "grateful", "thank",
-                                   "thanks"))),
-    Rule("R17", "Inspiration", lambda f: f.pos > 0.65 and f.energy > 0.4
-         and bool(f.keywords & _kw("inspired", "motivated", "inspiring"))),
-    Rule("R18", "Love", lambda f: f.pos > 0.7 and f.pause < 0.2
-         and bool(f.keywords & _kw("love", "affection", "darling"))),
-    Rule("R19", "Hope", lambda f: f.pos > 0.45 and f.pitch_var > 0.2
-         and bool(f.keywords & _kw("hopeful", "optimistic", "hope"))),
-    Rule("R20", "Relief", lambda f: f.pos > 0.45 and f.energy_var < 0.1
-         and bool(f.keywords & _kw("relieved", "eased", "relief"))),
-    Rule("R21", "Pleasant", lambda f: f.pos > 0.5 and f.pitch > 0.15
-         and bool(f.keywords & _kw("pleasant", "nice", "lovely"))),
+    _krule("R14", "Amusement", lambda f: f.pos > 0.5 and f.energy_var > 0.35,
+           "funny", "amused", "laugh", "haha"),
+    _krule("R15", "Enthusiasm", lambda f: f.pos > 0.6 and f.pitch > 0.4,
+           "excited", "enthusiastic", "awesome"),
+    _krule("R16", "Gratitude",
+           lambda f: f.pos > 0.55 and f.speech_rate < 0.2,
+           "thankful", "grateful", "thank", "thanks"),
+    _krule("R17", "Inspiration", lambda f: f.pos > 0.65 and f.energy > 0.4,
+           "inspired", "motivated", "inspiring"),
+    _krule("R18", "Love", lambda f: f.pos > 0.7 and f.pause < 0.2,
+           "love", "affection", "darling"),
+    _krule("R19", "Hope", lambda f: f.pos > 0.45 and f.pitch_var > 0.2,
+           "hopeful", "optimistic", "hope"),
+    _krule("R20", "Relief", lambda f: f.pos > 0.45 and f.energy_var < 0.1,
+           "relieved", "eased", "relief"),
+    _krule("R21", "Pleasant", lambda f: f.pos > 0.5 and f.pitch > 0.15,
+           "pleasant", "nice", "lovely"),
     Rule("R22", "Happiness", lambda f: f.pos > 0.6 and f.energy > 0.5),
     Rule("R23", "Surprise", lambda f: f.pos > 0.5 and f.pitch_var > 0.5),
     # -- Neutral (8) ---------------------------------------------------------
-    Rule("R24", "Boredom", lambda f: f.neu > 0.6 and f.energy < -0.5
-         and bool(f.keywords & _kw("bored", "uninterested", "boring"))),
-    Rule("R25", "Concentration", lambda f: f.neu > 0.5 and f.speech_rate > 0.3
-         and bool(f.keywords & _kw("focused", "attentive", "focus"))),
-    Rule("R26", "Flat narration", lambda f: f.neu > 0.7
-         and f.pitch_var < -0.5
-         and bool(f.keywords & _kw("monotone", "flat"))),
-    Rule("R27", "Hesitant", lambda f: f.neu > 0.55 and f.pause > 0.4
-         and bool(f.keywords & _kw("unsure", "hesitant", "um", "uh"))),
-    Rule("R28", "Matter-of-fact Informational tone",
-         lambda f: f.neu > 0.6 and f.energy_var < -0.3
-         and bool(f.keywords & _kw("factual", "informative"))),
-    Rule("R29", "Tired", lambda f: f.neu > 0.5 and f.energy < -0.7
-         and bool(f.keywords & _kw("exhausted", "weary", "tired"))),
+    _krule("R24", "Boredom", lambda f: f.neu > 0.6 and f.energy < -0.5,
+           "bored", "uninterested", "boring"),
+    _krule("R25", "Concentration",
+           lambda f: f.neu > 0.5 and f.speech_rate > 0.3,
+           "focused", "attentive", "focus"),
+    _krule("R26", "Flat narration",
+           lambda f: f.neu > 0.7 and f.pitch_var < -0.5,
+           "monotone", "flat"),
+    _krule("R27", "Hesitant", lambda f: f.neu > 0.55 and f.pause > 0.4,
+           "unsure", "hesitant", "um", "uh"),
+    _krule("R28", "Matter-of-fact Informational tone",
+           lambda f: f.neu > 0.6 and f.energy_var < -0.3,
+           "factual", "informative"),
+    _krule("R29", "Tired", lambda f: f.neu > 0.5 and f.energy < -0.7,
+           "exhausted", "weary", "tired"),
     Rule("R30", "Calm", lambda f: f.neu > 0.55 and abs(f.energy) < 0.25
          and abs(f.pitch_var) < 0.3),
     # reference Neutral rule is conjunctive (neu > 0.7 AND low pitch

@@ -92,8 +92,12 @@ def invert_if_negated(text: str, scores: Dict) -> Dict:
     (sentiment.py:78-81); re-flipping those would undo the correct
     handling — measured as a 9-point group-accuracy loss in
     ttsx/eval/rule_calibration.py before this guard."""
-    from ttsx.pipeline.sentiment import LEXICON
-    words = text.lower().split()
+    from ttsx.pipeline.sentiment import LEXICON, _WORD_RE
+    # MUST tokenize exactly like polarity_scores (sentiment.py:61) — with
+    # text.split(), sentence-final punctuation ("safe.") hides the
+    # sentiment word from the handled-window check and the scores get
+    # double-flipped on ordinary punctuated transcripts
+    words = _WORD_RE.findall(text.lower())
     neg_at = [i for i, w in enumerate(words)
               if w in NEGATION_TOKENS or w.endswith("n't")]
     if not neg_at:
@@ -111,7 +115,8 @@ def invert_if_negated(text: str, scores: Dict) -> Dict:
 def contradiction_score(text: str) -> float:
     """Stanza-equivalent heuristic: 'but/however/although' mid-sentence
     signals a contradiction (tier2.py contradiction check)."""
-    words = text.lower().split()
+    from ttsx.pipeline.sentiment import _WORD_RE
+    words = _WORD_RE.findall(text.lower())
     pivots = sum(1 for w in words if w in
                  ("but", "however", "although", "yet", "except"))
     return min(1.0, pivots * 0.5)
