@@ -120,3 +120,69 @@ def test_resblock_kernel_parity(dil):
         pp["Conv1d_1"]["Conv_0"]["kernel"],
         pp["Conv1d_1"]["Conv_0"]["bias"], dil, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("t", [40, 1040])
+def test_resblock_stack_kernel_parity(t):
+    """Stage-resident fused stack vs the chained XLA FiLMResidualBlocks:
+    single-tile (t < TILE, padded) and multi-tile (halo exchange across
+    tile boundaries + sequence-edge masking)."""
+    from ttsx.models.vocoder import FiLMResidualBlock
+    from ttsx.ops.resblock_stack_kernel import film_resblock_stack_pallas
+    C, Ccond, B = 16, 8, 2
+    dils = (1, 3, 5)
+    k = jax.random.PRNGKey(7)
+    x = jax.random.normal(k, (B, t, C))
+    cond = jax.random.normal(jax.random.PRNGKey(8), (B, t, Ccond))
+
+    blocks = [FiLMResidualBlock(C, d, Ccond) for d in dils]
+    params = [b.init(jax.random.PRNGKey(10 + i), x, cond)
+              for i, b in enumerate(blocks)]
+    # give the zero-init FiLM Dense real weights so FiLM actually fires
+    params = [
+        jax.tree_util.tree_map_with_path(
+            lambda path, leaf: (jax.random.normal(
+                jax.random.PRNGKey(hash(str(path)) % 2**31), leaf.shape)
+                * 0.3 if "Dense_0" in str(path) else leaf), p)
+        for p in params]
+    ref = x
+    for b, p in zip(blocks, params):
+        ref = b.apply(p, ref, cond)
+
+    films, w1s, b1s, w2s, b2s = [], [], [], [], []
+    for p in params:
+        pp = p["params"]
+        films.append(cond @ pp["Dense_0"]["kernel"]
+                     + pp["Dense_0"]["bias"])
+        w1s.append(pp["Conv1d_0"]["Conv_0"]["kernel"])
+        b1s.append(pp["Conv1d_0"]["Conv_0"]["bias"])
+        w2s.append(pp["Conv1d_1"]["Conv_0"]["kernel"])
+        b2s.append(pp["Conv1d_1"]["Conv_0"]["bias"])
+    got = film_resblock_stack_pallas(
+        x, jnp.concatenate(films, axis=-1), jnp.stack(w1s),
+        jnp.stack(b1s), jnp.stack(w2s), jnp.stack(b2s), dils,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_generator_resblock_stack_checkpoint_compatible():
+    """Generator with use_pallas_resblock_stack reuses the XLA path's
+    checkpoint unchanged and produces the same waveform."""
+    import dataclasses
+    from ttsx.core.config import VocoderConfig
+    from ttsx.models.vocoder import Generator
+    vc = VocoderConfig(hidden_dim=32, cond_dim=16, style_dim=32)
+    k = jax.random.PRNGKey(0)
+    B, T = 1, 12
+    mel = jax.random.normal(k, (B, T, vc.channels))
+    pros = jax.random.normal(k, (B, T, 18))
+    style = jax.random.normal(k, (B, vc.style_dim))
+    emo = jnp.full((B, 6), 1 / 6)
+    g = Generator(vc)
+    p = g.init(k, mel, pros, style, emo)
+    ref = g.apply(p, mel, pros, style, emo)
+    g2 = Generator(dataclasses.replace(vc, use_pallas_resblock_stack=True))
+    got = g2.apply(p, mel, pros, style, emo)  # same checkpoint
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

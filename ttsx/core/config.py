@@ -221,6 +221,11 @@ class VocoderConfig:
     # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
     # off by default until trained-quality validation (round-2 agenda)
     use_pallas_upsample: bool = False
+    # stage-resident fused resblock stack (ttsx/ops/resblock_stack_kernel
+    # .py): all res_dilations blocks of a stage in one VMEM-resident
+    # pallas_call. Inference-path only (pallas_call has no autodiff);
+    # training always uses the XLA blocks.
+    use_pallas_resblock_stack: bool = False
     # tensor parallelism: shard the leading band axis of the vmapped band
     # tower over the mesh's "tp" axis (sharding constraints inside the
     # generator; XLA inserts the gather at band_merge). Off by default —

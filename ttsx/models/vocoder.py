@@ -105,6 +105,24 @@ class FiLMResidualBlock(nn.Module):
         return x + y
 
 
+class _StackBlockShell(nn.Module):
+    """Declares one FiLMResidualBlock's exact param tree (Dense_0 film +
+    Conv1d_0/Conv1d_1 holders) and returns film + raw conv weights for
+    the fused stage-resident kernel — checkpoints swap freely between
+    the fused and XLA paths."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, cond):
+        film = nn.Dense(2 * self.channels,
+                        kernel_init=nn.initializers.zeros)(cond)
+        w1, b1 = _ConvParamHolder(3, self.channels, 2 * self.channels,
+                                  name="Conv1d_0")()
+        w2, b2 = _ConvParamHolder(3, self.channels, self.channels,
+                                  name="Conv1d_1")()
+        return film, w1, b1, w2, b2
+
+
 class BandTower(nn.Module):
     """One band's upsampling tower; vmapped over bands in Generator."""
     cfg: VocoderConfig
@@ -123,18 +141,45 @@ class BandTower(nn.Module):
                                     kernel_size=2 * factor,
                                     name=f"up_{i}")(x)
             ch //= 2
-            # NB: use_pallas stays False here — the fused resblock
-            # kernel measured 2.3x SLOWER than XLA on TPU (overlapping
-            # window materialization + sub-MXU matmul shapes); the
-            # ConvT upsample fusion above is the one that pays.
-            Block = (nn.remat(FiLMResidualBlock) if cfg.remat
-                     else FiLMResidualBlock)
-            for j, dil in enumerate(cfg.res_dilations):
-                x = Block(ch, dil, cfg.cond_dim,
-                          name=f"res_{i}_{j}")(x, cond)
+            if cfg.use_pallas_resblock_stack:
+                # round-3 stage-resident fusion: all blocks of this
+                # stage in one VMEM-resident pallas_call (round 1's
+                # PER-BLOCK fusion lost 2.3x to overlapping-window HBM
+                # materialization; this one tiles without overlap)
+                x = self._fused_stage(x, cond, ch, i)
+            else:
+                Block = (nn.remat(FiLMResidualBlock) if cfg.remat
+                         else FiLMResidualBlock)
+                for j, dil in enumerate(cfg.res_dilations):
+                    x = Block(ch, dil, cfg.cond_dim,
+                              name=f"res_{i}_{j}")(x, cond)
             if i == len(cfg.upsample_factors) // 2:
                 x = SelfAttention1d(ch, name=f"attn_{i}")(x)
         return x
+
+    def _fused_stage(self, x, cond, ch, i):
+        from ttsx.ops.resblock_stack_kernel import (
+            film_resblock_stack_pallas)
+        films, w1s, b1s, w2s, b2s = [], [], [], [], []
+        for j, _dil in enumerate(self.cfg.res_dilations):
+            film, w1, b1, w2, b2 = _StackBlockShell(
+                ch, name=f"res_{i}_{j}")(cond)
+            films.append(film)
+            w1s.append(w1)
+            b1s.append(b1)
+            w2s.append(w2)
+            b2s.append(b2)
+        T = x.shape[1]
+        Tc = cond.shape[1]
+        film = jnp.concatenate(films, axis=-1)   # [B, Tc, 6*ch]
+        if Tc != T:  # film at mel rate; Dense commutes with the gather
+            idx = jnp.clip((jnp.arange(T) * Tc) // T, 0, Tc - 1)
+            film = film[:, idx, :]
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        return film_resblock_stack_pallas(
+            x, film, jnp.stack(w1s), jnp.stack(b1s), jnp.stack(w2s),
+            jnp.stack(b2s), tuple(self.cfg.res_dilations),
+            interpret=interpret)
 
 
 class Generator(nn.Module):
