@@ -30,7 +30,36 @@ def _cpu_cache_dir():
     return f"/tmp/ttsx_jax_cache_{tag}"
 
 
-jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+def _scrub_cache_dir(path):
+    """Delete cache entries that fail to decompress: a process killed
+    mid-write (driver restart, rate limit) leaves a truncated file, and
+    jax segfaults deserializing it (observed at compilation_cache.py:238
+    get_executable_and_time, killing pytest with no summary)."""
+    import glob
+    try:
+        import zstandard
+    except ImportError:
+        return
+    for f in glob.glob(os.path.join(path, "*-cache")):
+        try:
+            # stream_reader accepts a truncated stream silently;
+            # decompressobj().eof is the reliable complete-frame check.
+            dec = zstandard.ZstdDecompressor().decompressobj()
+            with open(f, "rb") as fh:
+                dec.decompress(fh.read())
+            complete = dec.eof
+        except Exception:
+            complete = False
+        if not complete:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
+_cache_dir = _cpu_cache_dir()
+_scrub_cache_dir(_cache_dir)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest

@@ -132,6 +132,27 @@ def test_vocoder_block_gan_steps():
     assert states.gen.ema_params is not None
 
 
+def test_vocoder_quality_checkpoint_resume(tmp_path):
+    """The parity harness's cumulative-step resume: a second run at the
+    same step target restores the Orbax checkpoint and trains 0 extra
+    steps (identical params); a higher target trains only the delta."""
+    from ttsx.eval.parity_e2e import _train_vocoder
+    feats = synthetic_batch(CFG, batch=4, frames=4)
+    _, s1, _, _ = _train_vocoder(CFG, feats, 2, 2, 0,
+                                 save_dir=str(tmp_path))
+    _, s2, _, _ = _train_vocoder(CFG, feats, 2, 2, 0,
+                                 save_dir=str(tmp_path))
+    a = jax.tree_util.tree_leaves(s1.gen.params)
+    b = jax.tree_util.tree_leaves(s2.gen.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    _, s3, _, _ = _train_vocoder(CFG, feats, 3, 2, 0,
+                                 save_dir=str(tmp_path))
+    c = jax.tree_util.tree_leaves(s3.gen.params)
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(b, c))
+
+
 def test_unified_trainer_runs(tmp_path):
     stream = synthetic_stream(CFG, batch=2, frames=4, n=6)
     logger = JSONLLogger(str(tmp_path / "log.jsonl"), every=1)

@@ -62,21 +62,34 @@ def _wav_quality(wav_fake: np.ndarray, wav_real: np.ndarray) -> Dict:
 
 
 def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
-                   steps: int, batch: int, seed: int):
+                   steps: int, batch: int, seed: int,
+                   save_dir: Optional[str] = None):
     """Adversarial training of the real VocoderBlock; returns
-    (block, states, seconds, tail-metrics)."""
+    (block, states, seconds, tail-metrics).
+
+    `steps` is the CUMULATIVE step target: with `save_dir`, a previous
+    run's Orbax checkpoint is restored and only the remaining steps are
+    trained, so quality-curve points (2k/6k/12k/24k/...) extend each
+    other instead of retraining from scratch."""
     import jax
     import jax.numpy as jnp
     from ttsx.train.blocks import VocoderBlock
+    from ttsx.train.checkpoint import restore_checkpoint, save_checkpoint
 
     block = VocoderBlock(cfg)
     sampler = _batch_sampler(feats, batch, seed)
     first = {k: jnp.asarray(v) for k, v in next(sampler).items()}
     states = block.init_state(jax.random.PRNGKey(seed), first)
+    start = 0
+    if save_dir is not None:
+        got = restore_checkpoint(save_dir, "vocoder_quality", states)
+        if got is not None:
+            states, start, _ = got
+            start = min(int(start), steps)
     d_hist, g_hist = [], []
     parts_hist = {"stft": [], "adv": [], "fm": []}
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(steps - start):
         mb = {k: jnp.asarray(v) for k, v in next(sampler).items()}
         states, dm = block.disc_step(states, mb)
         states, gm = block.gen_step(states, mb)
@@ -86,6 +99,9 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
             if k in gm:
                 parts_hist[k].append(float(gm[k]))
     secs = time.perf_counter() - t0
+    if save_dir is not None and steps > start:
+        save_checkpoint(save_dir, "vocoder_quality", states, steps,
+                        extra={"seed": seed, "batch": batch})
     tail = {}
     if d_hist:
         tail = {"d_loss_tail_mean": float(np.mean(d_hist[-100:])),
@@ -123,7 +139,8 @@ def _synth_wav(block, states, mel_norm: np.ndarray,
 def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
                    n_speakers: int = 4, utts_train: int = 8,
                    utts_eval: int = 3, seed: int = 0,
-                   return_states: bool = False) -> Dict:
+                   return_states: bool = False,
+                   save_dir: Optional[str] = None) -> Dict:
     """Train the GAN vocoder on tones; report held-out wav-domain quality
     (trained vs random weights)."""
     import jax
@@ -147,7 +164,8 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
                           use_ema=False)
     q_rand = _wav_quality(wav_rand, ev["wav"][:len(wav_rand), :, 0])
 
-    block, states, secs, tail = _train_vocoder(cfg, tr, steps, batch, seed)
+    block, states, secs, tail = _train_vocoder(cfg, tr, steps, batch, seed,
+                                               save_dir=save_dir)
     # live params are the honest read for short runs: at decay 0.999 the
     # EMA still carries 0.999^steps of the random init (13.5% @ 2k steps)
     wav_fake = _synth_wav(block, states, ev["mel"], ev, batch,
