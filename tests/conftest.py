@@ -1,9 +1,15 @@
 """Test harness: force CPU with 8 virtual devices (multi-chip sharding tests
-without hardware) and a persistent compilation cache.
+without hardware).
 
 NOTE: this image force-registers a remote-TPU ('axon') PJRT backend via
 sitecustomize; jax.config.update('jax_platforms', 'cpu') AFTER import is
 the only reliable way to keep tests off the TPU tunnel.
+
+The persistent compilation cache is OPT-IN (TTSX_COMPILE_CACHE=1): three
+full-suite runs died to segfaults inside compilation_cache reads
+(jax compilation_cache.py:238 get_executable_and_time) that no scrub or
+CPU-flag keying prevented and that do not reproduce in isolation — the
+cache's re-run speedup is not worth non-deterministic silent suite death.
 """
 import os
 
@@ -57,10 +63,11 @@ def _scrub_cache_dir(path):
                 pass
 
 
-_cache_dir = _cpu_cache_dir()
-_scrub_cache_dir(_cache_dir)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("TTSX_COMPILE_CACHE"):
+    _cache_dir = _cpu_cache_dir()
+    _scrub_cache_dir(_cache_dir)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest
 import numpy as np
