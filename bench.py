@@ -6,10 +6,14 @@ Prints ONE JSON line:
 
 Runs on whatever jax.devices() provides (real TPU chip under the driver).
 
-The four synthesis stages are jitted separately and chained on host: the
-fused single-graph compile of the full pipeline is pathologically slow on
-the remote-compile service, while per-stage graphs compile in seconds and
-the added host chaining costs only ~3 dispatch round-trips per utterance.
+The synthesis stages are jitted as THREE programs chained on host
+(acoustic | refiner | gst+generator fused): the fused single-graph
+compile of the full pipeline is pathologically slow on the remote-compile
+service, while per-stage graphs compile in seconds. gst+generator share
+one program because a 4-program chain with the Pallas resblock stack
+enabled reproducibly stalled the remote tunnel's async dispatch (>9 min);
+the 3-chain keeps async pipelining, runs the Pallas generator, and
+measured 0.0069-0.0072 RTF vs 0.0087 for the 4-chain without it.
 Timing forces a device->host transfer of a scalar reduction so async
 dispatch can't fake the numbers.
 """
@@ -98,15 +102,18 @@ def main():
         p, a, b, c, speaker=d, deterministic=True).mel)
     rf_fn = jax.jit(lambda p, m, pr, s, t: pipe.refiner.apply(
         p, m, pr, s, t, deterministic=True).mel_ref)
-    gst_fn = jax.jit(lambda p, m: pipe.gst.apply(p, m))
-    gen_fn = jax.jit(lambda p, m, pr, st, e: pipe.generator.apply(
-        p, m, pr, st, e))
+
+    def _gst_gen(pg, pgen, m, pr, e):
+        style = pipe.gst.apply(pg, m)
+        return pipe.generator.apply(pgen, m, pr, style, e)
+
+    gg_fn = jax.jit(_gst_gen)
 
     def synth():
         mel0 = ac_fn(params["acoustic"], text, pros, emo, spk)
         mel_ref = rf_fn(params["refiner"], mel0, pros, sid, text)
-        style = gst_fn(params["gst"], mel_ref)
-        return gen_fn(params["generator"], mel_ref, pros, style, emo)
+        return gg_fn(params["gst"], params["generator"], mel_ref, pros,
+                     emo)
 
     # compile + warmup; force a real transfer so timing is honest
     import sys
@@ -121,9 +128,7 @@ def main():
     print(f"[bench] refiner compiled {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
-    style = gst_fn(params["gst"], mel_ref)
-    jax.block_until_ready(style)
-    wav = gen_fn(params["generator"], mel_ref, pros, style, emo)
+    wav = gg_fn(params["gst"], params["generator"], mel_ref, pros, emo)
     jax.block_until_ready(wav)
     print(f"[bench] gst+generator compiled {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
