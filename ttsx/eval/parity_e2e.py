@@ -190,7 +190,8 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
 
 def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
                vocoder_steps: int = 2000, frames: int = 128,
-               batch: int = 8, seed: int = 0) -> Dict:
+               batch: int = 8, seed: int = 0,
+               vocoder_save_dir: Optional[str] = None) -> Dict:
     """Text -> mel0 -> mel_ref -> waveform with every stage trained; the
     full-chain quality number (held-out utterances)."""
     import jax
@@ -240,10 +241,12 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
             ["mel_ref"]))
     mel_ref = np.concatenate(refined)
 
-    # vocoder trained on ground-truth mels of the same corpus
+    # vocoder trained on ground-truth mels of the same corpus; with
+    # vocoder_save_dir, the cumulative-step checkpoint of a previous
+    # vocoder_quality run is reused instead of retraining from scratch
     voc = vocoder_parity(steps=vocoder_steps, frames=64, batch=4,
                          n_speakers=corpus.n_speakers, seed=seed,
-                         return_states=True)
+                         return_states=True, save_dir=vocoder_save_dir)
     v_block, v_states = voc.pop("_block"), voc.pop("_states")
     voc.pop("_corpus", None)
 
