@@ -73,6 +73,21 @@ import pytest
 import numpy as np
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_between_modules():
+    """Full suites (158 tests, hundreds of compiled XLA:CPU executables
+    in one process) segfault ~90% in while obtaining the big vocoder-GAN
+    executable — at cache read, cache write, AND raw compile — yet the
+    same test passes standalone and in a tail-only subset. Dropping
+    every compiled executable at module teardown keeps the process's
+    JIT-code footprint bounded."""
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
