@@ -255,11 +255,15 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
                          use_ema=False)
     wav_copy = _synth_wav(v_block, v_states, ev_model["mel"], ev_model, 4,
                           use_ema=False)
+    # EMA generator is the better read once steps >> 1/(1-decay)
+    wav_e2e_ema = _synth_wav(v_block, v_states, mel_ref, ev_model, 4,
+                             use_ema=True)
     n = len(wav_e2e)
     return {"exp": "e2e",
             "acoustic_mcd_db": base["mcd_db"],
             "copy_synthesis": _wav_quality(wav_copy, wav_real[:len(wav_copy)]),
             "text_to_wav": _wav_quality(wav_e2e, wav_real[:n]),
+            "text_to_wav_ema": _wav_quality(wav_e2e_ema, wav_real[:n]),
             "eval_utts": int(n),
             "steps": {"acoustic": acoustic_steps,
                       "refiner": refiner_steps,

@@ -39,7 +39,7 @@ class SynthesisServer:
 
     def __init__(self, cfg: TTSXConfig, params, mesh=None,
                  max_batch: int = 8, frames: int = 512,
-                 bf16: bool = True):
+                 bf16: bool = True, chain: bool = True):
         self.cfg = cfg
         self.pipe = TTSPipeline(cfg)
         # bf16 halves activation HBM — at B=4 x 10 s the f32 generator
@@ -55,7 +55,28 @@ class SynthesisServer:
         self.max_batch = max_batch
         self.frames = frames
         self.mesh = mesh
-        self._fn = jax.jit(self._synth)
+        # chain=True compiles the pipeline as THREE programs
+        # (acoustic | refiner | gst+generator) chained on host, like
+        # bench.py: the single fused graph is pathologically slow to
+        # compile on the remote-TPU service (>25 min at serving shapes)
+        # while per-stage graphs compile in seconds, and async dispatch
+        # pipelines the chain with no RTF loss.
+        self.chain = chain
+        if chain:
+            self._ac_fn = jax.jit(
+                lambda p, t, pr, e, s: self.pipe.acoustic.apply(
+                    p, t, pr, e, speaker=s, deterministic=True).mel)
+            self._rf_fn = jax.jit(
+                lambda p, m, pr, sid, t: self.pipe.refiner.apply(
+                    p, m, pr, sid, t, deterministic=True).mel_ref)
+
+            def _gg(pg, pgen, m, pr, e):
+                style = self.pipe.gst.apply(pg, m)
+                return self.pipe.generator.apply(pgen, m, pr, style, e)
+
+            self._gg_fn = jax.jit(_gg)
+        else:
+            self._fn = jax.jit(self._synth)
         if mesh is not None:
             from ttsx.parallel import replicate
             self.params = replicate(self.params, mesh)
@@ -64,6 +85,14 @@ class SynthesisServer:
         out = self.pipe.synthesize(params, text, pros, emo, spk, sid,
                                    use_sde=False)
         return out.wav
+
+    def _run(self, text, pros, emo, spk, sid):
+        if not self.chain:
+            return self._fn(self.params, text, pros, emo, spk, sid)
+        p = self.params
+        mel0 = self._ac_fn(p["acoustic"], text, pros, emo, spk)
+        mel_ref = self._rf_fn(p["refiner"], mel0, pros, sid, text)
+        return self._gg_fn(p["gst"], p["generator"], mel_ref, pros, emo)
 
     def _pad_batch(self, reqs: Sequence[SynthesisRequest]):
         B, T = self.max_batch, self.frames
@@ -98,9 +127,9 @@ class SynthesisServer:
             from ttsx.parallel import shard_batch_dp
             with self.mesh:
                 arrays = [shard_batch_dp(a, self.mesh) for a in arrays]
-                wav = self._fn(self.params, *arrays)
+                wav = self._run(*arrays)
         else:
-            wav = self._fn(self.params, *arrays)
+            wav = self._run(*arrays)
         wav = np.asarray(wav)
         hop = self.cfg.vocoder.hop_length
         return [wav[i, : int(lens[i]) * hop, 0] for i in range(len(reqs))]
