@@ -53,6 +53,25 @@ def test_synthesis_server_batch(pipe_params):
     assert all(np.isfinite(w).all() for w in wavs)
 
 
+def test_synthesis_server_chain_equals_fused(pipe_params):
+    """The 3-program chain (remote-compile workaround, the default) must
+    produce the same waveforms as the single fused program."""
+    pipe, params = pipe_params
+    rng = np.random.default_rng(1)
+    reqs = [SynthesisRequest(
+        text_emb=rng.normal(size=(8, 16)).astype(np.float32),
+        prosody=rng.normal(size=(8, 18)).astype(np.float32),
+        emotion_probs=np.full(6, 1 / 6, np.float32),
+        speaker=rng.normal(size=8).astype(np.float32),
+        style_id=0) for _ in range(2)]
+    kw = dict(max_batch=2, frames=8, bf16=False)
+    w_chain = SynthesisServer(CFG, params, chain=True, **kw).serve_batch(reqs)
+    w_fused = SynthesisServer(CFG, params, chain=False, **kw).serve_batch(reqs)
+    for a, b in zip(w_chain, w_fused):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_voice_transform(pipe_params):
     pipe, params = pipe_params
     vt = make_voice_transform(CFG, pipe)
