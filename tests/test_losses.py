@@ -67,6 +67,17 @@ def test_feature_matching():
     assert float(L.feature_matching_loss(f, r2)) == 1.0
 
 
+def test_log_rms_energy_loss():
+    w = jax.random.normal(K, (2, 256, 1))
+    assert float(L.log_rms_energy_loss(w, w)) < 1e-5
+    # half-amplitude fake -> |log 0.5| (eps-dominated corrections tiny)
+    half = L.log_rms_energy_loss(0.5 * w, w)
+    np.testing.assert_allclose(float(half), np.log(2.0), atol=1e-2)
+    # symmetric in over/under-estimation
+    double = L.log_rms_energy_loss(2.0 * w, w)
+    np.testing.assert_allclose(float(half), float(double), atol=1e-2)
+
+
 def test_adversarial_warmup():
     assert float(L.adversarial_warmup(jnp.asarray(0.0), 16)) == 0.0
     assert float(L.adversarial_warmup(jnp.asarray(160.0), 16)) == 1.0

@@ -128,8 +128,20 @@ def test_vocoder_block_gan_steps():
     states, gm = block.gen_step(states, batch)
     assert np.isfinite(float(dm["d_loss"]))
     assert np.isfinite(float(gm["g_loss"]))
+    assert "energy" not in gm  # lambda_energy defaults off
     # EMA params tracked on generator
     assert states.gen.ema_params is not None
+
+
+def test_vocoder_energy_loss_opt_in():
+    import dataclasses
+    cfg = dataclasses.replace(
+        CFG, vocoder=dataclasses.replace(CFG.vocoder, lambda_energy=1.0))
+    batch = synthetic_batch(cfg, batch=2, frames=4)
+    block = VocoderBlock(cfg)
+    states = block.init_state(jax.random.PRNGKey(0), batch)
+    states, gm = block.gen_step(states, batch)
+    assert np.isfinite(float(gm["energy"]))
 
 
 def test_vocoder_quality_checkpoint_resume(tmp_path):

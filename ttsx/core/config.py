@@ -217,6 +217,11 @@ class VocoderConfig:
     lambda_pitch: float = 1.0
     lambda_dur: float = 1.0
     lambda_fm: float = 2.0
+    # opt-in log-RMS energy match (losses.log_rms_energy_loss): fixes the
+    # amplitude-underestimation plateau the STFT log-mag loss tolerates
+    # (rms_ratio ~0.65-0.68 at 24-48k steps). 0.0 = off, preserving
+    # comparability of the recorded round-2 quality curve.
+    lambda_energy: float = 0.0
     ema_decay: float = 0.999
     # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
     # off by default until trained-quality validation (round-2 agenda)

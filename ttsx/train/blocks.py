@@ -343,6 +343,10 @@ class VocoderBlock:
                                         wav_real)
             g = adv + vc.lambda_fm * fm + stft
             parts = {"adv": adv, "fm": fm, "stft": stft}
+            if vc.lambda_energy > 0.0:
+                en = L.log_rms_energy_loss(wav_fake, wav_real)
+                g = g + vc.lambda_energy * en
+                parts["energy"] = en
             if "pitch_pred" in batch:
                 p = jnp.mean(jnp.abs(batch["pitch_pred"] - batch["pitch"]))
                 d = jnp.mean(jnp.abs(batch["duration_pred"]

@@ -150,6 +150,20 @@ def nn_relu(x):
     return jnp.maximum(x, 0.0)
 
 
+def log_rms_energy_loss(wav_fake: jnp.ndarray, wav_real: jnp.ndarray,
+                        eps: float = 1e-6) -> jnp.ndarray:
+    """L1 between per-utterance log-RMS energies, [B, N, 1] waveforms.
+
+    The multi-res STFT objective is log-magnitude per bin, so a generator
+    that reproduces spectral SHAPE at ~0.7x amplitude pays little — the
+    observed rms_ratio plateau (~0.65-0.68 at 24-48k steps on the tone
+    corpus). An explicit scale term closes exactly that gap; log domain
+    makes the gradient symmetric in over/under-estimation."""
+    rms_f = jnp.sqrt(jnp.mean(jnp.square(wav_fake), axis=(1, 2)) + eps)
+    rms_r = jnp.sqrt(jnp.mean(jnp.square(wav_real), axis=(1, 2)) + eps)
+    return jnp.mean(jnp.abs(jnp.log(rms_f) - jnp.log(rms_r)))
+
+
 def feature_matching_loss(fake_features: Sequence[Sequence[jnp.ndarray]],
                           real_features: Sequence[Sequence[jnp.ndarray]]):
     """L1 between fake and REAL features (fixes losses.py:43-51 which
