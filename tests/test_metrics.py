@@ -102,3 +102,22 @@ def test_silhouette():
         size=(20, 2)) * 0.1
     labels = np.array([0] * 10 + [1] * 10)
     assert silhouette_score(x, labels) > 0.8
+
+
+def test_wav_quality_voiced_mask():
+    """Voiced-only MCD excludes the silent-gap frames that dilute the
+    overall number (both signals silent -> trivially-matched cepstra)."""
+    from ttsx.eval.parity_e2e import _wav_quality
+    sr = 22050
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 220 * t)
+    gate = (np.sin(2 * np.pi * 2 * t) > 0).astype(np.float32)
+    real = (tone * gate).astype(np.float32)[None]
+    fake = (0.7 * tone * gate).astype(np.float32)[None]
+    q = _wav_quality(fake, real)
+    assert np.isfinite(q["wav_mcd_voiced_db"])
+    # mask recovers roughly the 50% duty cycle of the gating
+    assert 0.4 < q["voiced_frac"] < 0.75
+    # identical signals -> both MCDs ~0
+    q0 = _wav_quality(real, real)
+    assert q0["wav_mcd_db"] < 1e-3 and q0["wav_mcd_voiced_db"] < 1e-3
