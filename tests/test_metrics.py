@@ -121,3 +121,17 @@ def test_wav_quality_voiced_mask():
     # identical signals -> both MCDs ~0
     q0 = _wav_quality(real, real)
     assert q0["wav_mcd_db"] < 1e-3 and q0["wav_mcd_voiced_db"] < 1e-3
+
+
+def test_wav_quality_continuous_voiced():
+    """A continuously-voiced signal (no silent gaps) must count ~all frames
+    as voiced: the relative loudness threshold only applies when the
+    distribution is actually bimodal, and loudness is total (linear-domain)
+    energy, not mean log-mel (which under-scores pure tones vs broadband
+    edge frames)."""
+    from ttsx.eval.parity_e2e import _wav_quality
+    sr = 22050
+    t = np.arange(sr) / sr
+    real = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    q = _wav_quality(real, real)
+    assert q["voiced_frac"] > 0.9, q

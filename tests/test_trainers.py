@@ -97,3 +97,16 @@ def test_prosody_targets_from_wav():
     assert targets["f0"].shape == (1, frames)
     assert targets["mfcc"].shape == (1, 13)
     assert float(targets["pause_dur"][0, 0]) < 0.3  # mostly voiced tone
+
+
+def test_prosody_parity_smoke_trained_beats_random():
+    """The stage-2 parity experiment (parity_prosody.py) at toy scale:
+    structure, finiteness, and trained val loss below the random-init
+    baseline within a couple hundred steps."""
+    from ttsx.eval.parity_prosody import prosody_parity
+    r = prosody_parity(steps=150, frames=32, batch=8, n_speakers=3,
+                       utts_train=4, utts_eval=2, cond_dim=32, n_layers=1)
+    for k in ("val_loss", "val_loss_random_weights", "energy_pearson",
+              "f0_pearson_voiced"):
+        assert np.isfinite(r[k]), k
+    assert r["val_loss"] < r["val_loss_random_weights"]

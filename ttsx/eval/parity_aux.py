@@ -142,15 +142,16 @@ def diarizer_parity(n_speakers: int = 3, n_turns: int = 12,
 
 
 # ---------------------------------------------------------------------------
-def _lazy(name):
+def _lazy(name, module="ttsx.eval.parity_e2e"):
     def run(**kw):
-        from ttsx.eval import parity_e2e
-        return getattr(parity_e2e, name)(**kw)
+        import importlib
+        return getattr(importlib.import_module(module), name)(**kw)
     return run
 
 
 EXPERIMENTS = {
     "refenc": refenc_parity,
+    "prosody": _lazy("prosody_parity", "ttsx.eval.parity_prosody"),
     "acoustic": acoustic_parity,
     "refiner": refiner_parity,
     "vocoder": vocoder_gan_smoke,

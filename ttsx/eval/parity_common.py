@@ -53,3 +53,62 @@ def _batch_sampler(feats: Dict[str, np.ndarray], batch: int, seed: int):
     while True:
         idx = rng.integers(0, n, batch)
         yield {k: v[idx] for k, v in feats.items()}
+
+
+_STFT_RES = ((512, 128), (1024, 256), (2048, 512))
+
+
+def _wav_quality(wav_fake: np.ndarray, wav_real: np.ndarray) -> Dict:
+    """WAV-domain quality: re-analysis mel MCD + multi-res STFT log-L1.
+
+    Both inputs [B, N] float32 in [-1, 1].
+    """
+    import jax.numpy as jnp
+    from ttsx.dsp import mel_spectrogram
+    from ttsx.dsp.stft import stft_magnitude
+    from ttsx.eval.metrics import mel_cepstral_distortion
+
+    mel_f = np.asarray(mel_spectrogram(jnp.asarray(wav_fake), AUDIO))
+    mel_r = np.asarray(mel_spectrogram(jnp.asarray(wav_real), AUDIO))
+    mcds = [mel_cepstral_distortion(mel_f[i], mel_r[i])
+            for i in range(mel_f.shape[0])]
+    # voiced-only MCD: the tone corpus has silent inter-note gaps whose
+    # frames inflate the absolute number (cepstra of ~noise-floor frames);
+    # mask ground-truth frames in the lower ~third of the per-utterance
+    # frame-loudness range (bimodal voiced/silent distribution; 0.35
+    # recovers the true duty cycle on gated tones, where the midpoint
+    # over-prunes transition frames). A relative threshold only makes
+    # sense when the distribution IS bimodal: if the loudness range is
+    # small (continuously-voiced audio, no silent gaps) every frame is
+    # voiced.
+    mcds_v, voiced = [], []
+    for i in range(mel_f.shape[0]):
+        t = min(len(mel_f[i]), len(mel_r[i]))
+        # log of mean LINEAR energy: mean log-mel is a geometric mean, which
+        # scores a pure tone (energy in few bins) below broadband edge
+        # frames; total energy is the actual voiced/silent separator
+        loud = np.log(np.mean(np.exp(mel_r[i][:t]), axis=-1) + 1e-12)
+        rng_ = loud.max() - loud.min()
+        if rng_ < 3.0:  # log-mel units; silence sits >> 3 below signal
+            mask = np.ones(t, dtype=bool)
+        else:
+            mask = loud > loud.min() + 0.35 * rng_
+        if mask.sum() >= 2:
+            mcds_v.append(mel_cepstral_distortion(
+                mel_f[i][:t][mask], mel_r[i][:t][mask]))
+            voiced.append(float(mask.mean()))
+    stft_l1 = []
+    for n_fft, hop in _STFT_RES:
+        mf = np.asarray(stft_magnitude(jnp.asarray(wav_fake), n_fft, hop))
+        mr = np.asarray(stft_magnitude(jnp.asarray(wav_real), n_fft, hop))
+        stft_l1.append(float(np.mean(np.abs(np.log(mf + 1e-5)
+                                            - np.log(mr + 1e-5)))))
+    rms = lambda w: float(np.sqrt(np.mean(np.square(w)) + 1e-12))
+    out = {"wav_mcd_db": float(np.mean(mcds)),
+           "stft_log_l1": float(np.mean(stft_l1)),
+           # amplitude sanity: ~1.0 when the generator reproduces energy
+           "rms_ratio": rms(wav_fake) / rms(wav_real)}
+    if mcds_v:
+        out["wav_mcd_voiced_db"] = float(np.mean(mcds_v))
+        out["voiced_frac"] = float(np.mean(voiced))
+    return out

@@ -29,55 +29,7 @@ from ttsx.core.config import TTSXConfig
 from ttsx.data.tonecorpus import ToneCorpus
 from ttsx.eval.parity import _tts_cfg, acoustic_parity
 from ttsx.eval.parity_common import (AUDIO, _batch_sampler, _model_batch,
-                                     _normalize_mels)
-
-_STFT_RES = ((512, 128), (1024, 256), (2048, 512))
-
-
-def _wav_quality(wav_fake: np.ndarray, wav_real: np.ndarray) -> Dict:
-    """WAV-domain quality: re-analysis mel MCD + multi-res STFT log-L1.
-
-    Both inputs [B, N] float32 in [-1, 1].
-    """
-    import jax.numpy as jnp
-    from ttsx.dsp import mel_spectrogram
-    from ttsx.dsp.stft import stft_magnitude
-    from ttsx.eval.metrics import mel_cepstral_distortion
-
-    mel_f = np.asarray(mel_spectrogram(jnp.asarray(wav_fake), AUDIO))
-    mel_r = np.asarray(mel_spectrogram(jnp.asarray(wav_real), AUDIO))
-    mcds = [mel_cepstral_distortion(mel_f[i], mel_r[i])
-            for i in range(mel_f.shape[0])]
-    # voiced-only MCD: the tone corpus has silent inter-note gaps whose
-    # frames inflate the absolute number (cepstra of ~noise-floor frames);
-    # mask ground-truth frames in the lower ~third of the per-utterance
-    # frame-loudness range (bimodal voiced/silent distribution; 0.35
-    # recovers the true duty cycle on gated tones, where the midpoint
-    # over-prunes transition frames)
-    mcds_v, voiced = [], []
-    for i in range(mel_f.shape[0]):
-        t = min(len(mel_f[i]), len(mel_r[i]))
-        loud = mel_r[i][:t].mean(axis=-1)
-        mask = loud > loud.min() + 0.35 * (loud.max() - loud.min())
-        if mask.sum() >= 2:
-            mcds_v.append(mel_cepstral_distortion(
-                mel_f[i][:t][mask], mel_r[i][:t][mask]))
-            voiced.append(float(mask.mean()))
-    stft_l1 = []
-    for n_fft, hop in _STFT_RES:
-        mf = np.asarray(stft_magnitude(jnp.asarray(wav_fake), n_fft, hop))
-        mr = np.asarray(stft_magnitude(jnp.asarray(wav_real), n_fft, hop))
-        stft_l1.append(float(np.mean(np.abs(np.log(mf + 1e-5)
-                                            - np.log(mr + 1e-5)))))
-    rms = lambda w: float(np.sqrt(np.mean(np.square(w)) + 1e-12))
-    out = {"wav_mcd_db": float(np.mean(mcds)),
-           "stft_log_l1": float(np.mean(stft_l1)),
-           # amplitude sanity: ~1.0 when the generator reproduces energy
-           "rms_ratio": rms(wav_fake) / rms(wav_real)}
-    if mcds_v:
-        out["wav_mcd_voiced_db"] = float(np.mean(mcds_v))
-        out["voiced_frac"] = float(np.mean(voiced))
-    return out
+                                     _normalize_mels, _wav_quality)
 
 
 def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
@@ -159,12 +111,23 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
                    n_speakers: int = 4, utts_train: int = 8,
                    utts_eval: int = 3, seed: int = 0,
                    return_states: bool = False,
-                   save_dir: Optional[str] = None) -> Dict:
+                   save_dir: Optional[str] = None,
+                   vocoder_overrides: Optional[Dict] = None) -> Dict:
     """Train the GAN vocoder on tones; report held-out wav-domain quality
-    (trained vs random weights)."""
+    (trained vs random weights).
+
+    `vocoder_overrides` replaces fields on the VocoderConfig (e.g.
+    {"lambda_energy": 0.1}) — the hook for loss-ablation legs that resume
+    a forked checkpoint under a different `save_dir`."""
+    import dataclasses
+
     import jax
 
     cfg = _tts_cfg()
+    if vocoder_overrides:
+        cfg = dataclasses.replace(
+            cfg, vocoder=dataclasses.replace(cfg.vocoder,
+                                             **vocoder_overrides))
     hop = int(np.prod(cfg.vocoder.upsample_factors))
     corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed)
 

@@ -1,0 +1,107 @@
+"""Parity harness part 4: trained stage-2 prosody-predictor quality.
+
+The other four model stages have trained parity numbers (EER / MCD / GAN
+wav quality / DER); this closes stage 2 (prosody3). Trains ProsodyPredictor
+on mel -> DSP-derived targets (the reference's intended
+`utils.extract_f0_energy` chain, prosody3/prosody_predictor.py:114-165 +
+prosody3/prosody_loss.py objective) and reports on held-out utterances:
+
+  * weighted SmoothL1 ProsodyLoss (the training objective, measured);
+  * Pearson r between predicted and target per-frame f0 (voiced frames)
+    and energy — interpretable accuracy numbers the loss alone hides;
+both for trained vs randomly initialized weights.
+
+Run: python -m ttsx.eval.parity_aux --exp prosody
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import numpy as np
+
+from ttsx.data.tonecorpus import ToneCorpus
+from ttsx.eval.parity_common import AUDIO, _normalize_mels
+
+
+def _pearson(a: np.ndarray, b: np.ndarray) -> float:
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = np.sqrt((a * a).sum() * (b * b).sum()) + 1e-12
+    return float((a * b).sum() / denom)
+
+
+def prosody_parity(steps: int = 2000, frames: int = 128, batch: int = 16,
+                   n_speakers: int = 8, utts_train: int = 24,
+                   utts_eval: int = 8, seed: int = 0,
+                   cond_dim: int = 256, n_layers: int = 4) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ttsx.core.config import ProsodyConfig, S4Config
+    from ttsx.train.prosody_trainer import ProsodyTrainer
+
+    cfg = ProsodyConfig(
+        audio=AUDIO, cond_dim=cond_dim, n_layers=n_layers,
+        s4=S4Config(heads=4, l_max=1024, causal=False, norm_groups=4,
+                    dropout=0.1))
+    corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed)
+    tr = _normalize_mels(corpus.features(
+        corpus.utterances(utts_train, frames, seed=seed)))
+    ev = _normalize_mels(corpus.features(
+        corpus.utterances(utts_eval, frames, seed=seed + 1)))
+
+    def targets_of(d):
+        wav = jnp.asarray(d["wav"][..., 0])
+        return ProsodyTrainer.targets_from_wav(wav, cfg, frames)
+
+    tr_tgt = {k: np.asarray(v) for k, v in targets_of(tr).items()}
+    ev_tgt = {k: np.asarray(v) for k, v in targets_of(ev).items()}
+    from ttsx.dsp import extract_f0_energy
+    _, _, ev_voiced = extract_f0_energy(jnp.asarray(ev["wav"][..., 0]),
+                                        AUDIO)
+    ev_voiced = np.asarray(ev_voiced)[:, :frames]
+
+    trainer = ProsodyTrainer(cfg, warmup=min(100, max(steps // 10, 1)),
+                             total=max(steps, 1))
+    state = trainer.init_state(jax.random.PRNGKey(seed),
+                               jnp.asarray(tr["mel"][:batch]))
+
+    def evaluate(params) -> Dict:
+        loss = float(trainer.val_step(
+            params, jnp.asarray(ev["mel"]),
+            {k: jnp.asarray(v) for k, v in ev_tgt.items()}))
+        pred = {k: np.asarray(v) for k, v in trainer.model.apply(
+            params, jnp.asarray(ev["mel"])).items()}
+        f0_r, en_r = [], []
+        for i in range(len(ev["mel"])):
+            v = ev_voiced[i]
+            if v.sum() >= 8:
+                f0_r.append(_pearson(pred["f0"][i][v], ev_tgt["f0"][i][v]))
+            en_r.append(_pearson(pred["energy"][i], ev_tgt["energy"][i]))
+        return {"loss": loss,
+                "f0_pearson_voiced": float(np.mean(f0_r)) if f0_r else 0.0,
+                "energy_pearson": float(np.mean(en_r))}
+
+    rand = evaluate(state.params)
+
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    last = float("nan")
+    for _ in range(steps):
+        idx = rng.integers(0, len(tr["mel"]), batch)
+        state, m = trainer.train_step(
+            state, jnp.asarray(tr["mel"][idx]),
+            {k: jnp.asarray(v[idx]) for k, v in tr_tgt.items()})
+        last = float(m["loss"])
+    secs = time.perf_counter() - t0
+
+    trained = evaluate(state.params)
+    return {"exp": "prosody", "steps": steps, "train_seconds": secs,
+            "final_train_loss": last, "eval_utts": int(len(ev["mel"])),
+            "val_loss": trained["loss"],
+            "val_loss_random_weights": rand["loss"],
+            "f0_pearson_voiced": trained["f0_pearson_voiced"],
+            "f0_pearson_voiced_random_weights": rand["f0_pearson_voiced"],
+            "energy_pearson": trained["energy_pearson"],
+            "energy_pearson_random_weights": rand["energy_pearson"]}
