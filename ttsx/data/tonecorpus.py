@@ -51,11 +51,18 @@ class ToneCorpus:
     def __init__(self, n_speakers: int = 12, n_phonemes: int = 24,
                  text_dim: int = 256, audio: Optional[AudioConfig] = None,
                  seed: int = 0, n_f0_groups: Optional[int] = None,
-                 noise_db: Optional[float] = None):
+                 noise_db: Optional[float] = None,
+                 intonation: float = 0.0):
         self.audio = audio or AudioConfig()
         self.n_speakers = n_speakers
         self.n_phonemes = n_phonemes
         self.noise_db = noise_db
+        # fractional per-segment pitch excursion (0 = constant-pitch
+        # utterances). Constant pitch is what the EER/MCD/DER experiments
+        # recorded on; the prosody-predictor experiment needs real
+        # within-utterance f0 contours or the z-scored frame target is
+        # pure tracker jitter, so it opts in with e.g. intonation=0.2.
+        self.intonation = float(intonation)
         rng = np.random.default_rng(seed)
         H = self.N_HARMONICS
         # speaker timbre: F0 + harmonic envelope. With n_f0_groups set,
@@ -106,10 +113,21 @@ class ToneCorpus:
         am = 1.0 + 0.3 * np.sin(
             2 * np.pi * self.pho_am[ids[frame_of]] * t)  # tremolo
         phase = rng.uniform(0, 2 * np.pi, H)
+        if self.intonation > 0.0:
+            # smooth frame-rate pitch contour (glides on the phoneme-
+            # segment timescale) -> per-sample instantaneous f0; harmonics
+            # stay phase-continuous via phase integration
+            w = 9
+            raw = rng.uniform(-self.intonation, self.intonation,
+                              frames + w - 1)
+            off = np.convolve(raw, np.ones(w) / w, mode="valid")  # [frames]
+            f0_t = f0 * (1.0 + off[frame_of])            # [n]
+            phi = 2 * np.pi * np.cumsum(f0_t) / sr       # [n]
+        else:
+            phi = 2 * np.pi * f0 * t
         wav = np.zeros(n)
         for h in range(H):
-            wav += amp[:, h] * np.sin(2 * np.pi * (h + 1) * f0 * t
-                                      + phase[h])
+            wav += amp[:, h] * np.sin((h + 1) * phi + phase[h])
         wav *= am
         wav = 0.3 * wav / (np.abs(wav).max() + 1e-8)
         if self.noise_db is not None:

@@ -168,6 +168,20 @@ def main(argv=None):
     p.add_argument("--out", default="eval_results/parity.json")
     p.add_argument("--cpu", action="store_true",
                    help="force host CPU (tests / no-TPU boxes)")
+    # quality-curve leg controls (vocoder_quality): cumulative-step
+    # checkpoint resume lives in vocoder_parity(save_dir=...); these make
+    # the curve legs reproducible from the CLI instead of ad-hoc scripts
+    p.add_argument("--steps", type=int, default=None,
+                   help="cumulative step target for the experiment")
+    p.add_argument("--save-dir", default=None,
+                   help="checkpoint dir to resume/extend (vocoder_quality)")
+    p.add_argument("--key", default=None,
+                   help="record result under this key instead of the "
+                        "experiment name (e.g. vocoder_quality_84k)")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="FIELD=VALUE",
+                   help="VocoderConfig field override for ablation legs, "
+                        "e.g. --override lambda_energy=1.0 (repeatable)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -183,14 +197,32 @@ def main(argv=None):
     results = {}
     if out_path.exists():
         results = json.loads(out_path.read_text())
+    kw = {}
+    if args.steps is not None:
+        kw["steps"] = args.steps
+    if args.save_dir is not None:
+        kw["save_dir"] = args.save_dir
+    if args.override:
+        ov = {}
+        for item in args.override:
+            field, _, raw = item.partition("=")
+            try:
+                ov[field] = json.loads(raw)
+            except json.JSONDecodeError:
+                ov[field] = raw
+        kw["vocoder_overrides"] = ov
+    if kw and (len(names) != 1 or args.exp == "all"):
+        p.error("--steps/--save-dir/--override need a single --exp")
     for name in names:
-        r = EXPERIMENTS[name]()
+        r = EXPERIMENTS[name](**kw)
         r = {k: v for k, v in r.items() if not k.startswith("_")}
         if name == "refiner" and "acoustic" in r:
             # the refiner run embeds a full acoustic experiment
             results["acoustic"] = r.pop("acoustic")
-        results[name] = r
-        print(json.dumps({name: r}))
+        if "vocoder_overrides" in kw:
+            r["vocoder_overrides"] = kw["vocoder_overrides"]
+        results[args.key or name] = r
+        print(json.dumps({args.key or name: r}))
         out_path.write_text(json.dumps(results, indent=1))
     return 0
 

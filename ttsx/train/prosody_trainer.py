@@ -71,7 +71,18 @@ class ProsodyTrainer:
         mean = (f0 * vm).sum(axis=1, keepdims=True) / denom
         var = ((f0 - mean) ** 2 * vm).sum(axis=1, keepdims=True) / denom
         f0_z = jnp.where(voiced, (f0 - mean) / jnp.sqrt(var + 1e-6), 0.0)
-        pitch_var = jnp.broadcast_to(jnp.sqrt(var + 1e-6) / 100.0, f0.shape)
+
+        # per-frame targets are z-scored per utterance, matching the
+        # [B, T, 18] conditioning contract that pack_prosody/features()
+        # build (z(f0), z(energy), z(|diff f0|)); raw scales (energy std
+        # ~0.02, constant pitch_var) starve those heads of gradient under
+        # the SmoothL1 while the raw-cepstra mfcc term dominates
+        def z(x):
+            mu = x.mean(axis=1, keepdims=True)
+            return (x - mu) / (x.std(axis=1, keepdims=True) + 1e-6)
+
+        energy = z(energy)
+        pitch_var = z(jnp.abs(jnp.diff(f0, axis=1, prepend=f0[:, :1])))
         # speech rate ~ voiced transitions / second; pause ~ unvoiced ratio
         trans = jnp.abs(jnp.diff(vm, axis=1)).sum(axis=1, keepdims=True)
         secs = frames * cfg.audio.hop_length / cfg.audio.sample_rate
