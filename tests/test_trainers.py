@@ -110,3 +110,8 @@ def test_prosody_parity_smoke_trained_beats_random():
               "f0_pearson_voiced"):
         assert np.isfinite(r[k]), k
     assert r["val_loss"] < r["val_loss_random_weights"]
+    # best-val selection: headline is the best curve point, never worse
+    # than the endpoint, and the curve records every periodic eval
+    assert r["val_loss"] <= r["val_loss_final"] + 1e-9
+    assert r["eval_curve"] and r["eval_curve"][-1]["step"] == r["steps"]
+    assert 1 <= r["best_val_step"] <= r["steps"]

@@ -95,23 +95,40 @@ def prosody_parity(steps: int = 4000, frames: int = 128, batch: int = 16,
 
     rand = evaluate(state.params)
 
+    # periodic held-out eval with best-val selection: the endpoint
+    # overfits on this small corpus (at 8k steps train loss 0.47 but val
+    # loss rises and energy Pearson halves while f0 keeps improving), so
+    # the honest single number is the best-val checkpoint, not the last
+    eval_every = max(min(500, steps), steps // 8)
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
     last = float("nan")
-    for _ in range(steps):
+    best = dict(rand, step=0)
+    curve = []
+    for step in range(1, steps + 1):
         idx = rng.integers(0, len(tr["mel"]), batch)
         state, m = trainer.train_step(
             state, jnp.asarray(tr["mel"][idx]),
             {k: jnp.asarray(v[idx]) for k, v in tr_tgt.items()})
         last = float(m["loss"])
+        if step % eval_every == 0 or step == steps:
+            ev_m = evaluate(state.params)
+            curve.append({"step": step, **ev_m})
+            if ev_m["loss"] < best["loss"]:
+                best = dict(ev_m, step=step)
     secs = time.perf_counter() - t0
 
-    trained = evaluate(state.params)
+    trained = curve[-1]
     return {"exp": "prosody", "steps": steps, "train_seconds": secs,
             "final_train_loss": last, "eval_utts": int(len(ev["mel"])),
-            "val_loss": trained["loss"],
+            "val_loss": best["loss"],
             "val_loss_random_weights": rand["loss"],
-            "f0_pearson_voiced": trained["f0_pearson_voiced"],
+            "f0_pearson_voiced": best["f0_pearson_voiced"],
             "f0_pearson_voiced_random_weights": rand["f0_pearson_voiced"],
-            "energy_pearson": trained["energy_pearson"],
-            "energy_pearson_random_weights": rand["energy_pearson"]}
+            "energy_pearson": best["energy_pearson"],
+            "energy_pearson_random_weights": rand["energy_pearson"],
+            "best_val_step": best["step"],
+            "val_loss_final": trained["loss"],
+            "f0_pearson_voiced_final": trained["f0_pearson_voiced"],
+            "energy_pearson_final": trained["energy_pearson"],
+            "eval_curve": curve}
