@@ -182,6 +182,11 @@ def main(argv=None):
                    metavar="FIELD=VALUE",
                    help="VocoderConfig field override for ablation legs, "
                         "e.g. --override lambda_energy=1.0 (repeatable)")
+    p.add_argument("--arg", action="append", default=[],
+                   metavar="K=V",
+                   help="extra experiment kwarg (JSON value), e.g. "
+                        "--arg utts_train=64 for a data-scale leg "
+                        "(repeatable)")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
@@ -211,8 +216,14 @@ def main(argv=None):
             except json.JSONDecodeError:
                 ov[field] = raw
         kw["vocoder_overrides"] = ov
+    for item in args.arg:
+        k, _, raw = item.partition("=")
+        try:
+            kw[k] = json.loads(raw)
+        except json.JSONDecodeError:
+            kw[k] = raw
     if kw and (len(names) != 1 or args.exp == "all"):
-        p.error("--steps/--save-dir/--override need a single --exp")
+        p.error("--steps/--save-dir/--override/--arg need a single --exp")
     for name in names:
         r = EXPERIMENTS[name](**kw)
         r = {k: v for k, v in r.items() if not k.startswith("_")}
@@ -221,6 +232,9 @@ def main(argv=None):
             results["acoustic"] = r.pop("acoustic")
         if "vocoder_overrides" in kw:
             r["vocoder_overrides"] = kw["vocoder_overrides"]
+        if args.arg:
+            r["cli_args"] = {k: kw[k] for k in
+                             (i.partition("=")[0] for i in args.arg)}
         results[args.key or name] = r
         print(json.dumps({args.key or name: r}))
         out_path.write_text(json.dumps(results, indent=1))
