@@ -81,7 +81,13 @@ class ProsodyTrainer:
             mu = x.mean(axis=1, keepdims=True)
             return (x - mu) / (x.std(axis=1, keepdims=True) + 1e-6)
 
-        energy = z(energy)
+        # energy in the LOG domain before z-scoring. Both domains are
+        # equally recoverable from mel by a 3-frame-context linear probe
+        # (r~0.90 on the tone corpus), but the linear-RMS z-score is
+        # heavily peak-skewed, so SmoothL1 concentrates gradient on the
+        # few loudest frames; log-RMS spreads it across the contour and
+        # is the conventional prosody energy feature
+        energy = z(jnp.log(energy + 1e-5))
         pitch_var = z(jnp.abs(jnp.diff(f0, axis=1, prepend=f0[:, :1])))
         # speech rate ~ voiced transitions / second; pause ~ unvoiced ratio
         trans = jnp.abs(jnp.diff(vm, axis=1)).sum(axis=1, keepdims=True)
