@@ -88,6 +88,19 @@ def test_der_wrong():
     assert diarization_error_rate(ref, hyp2) > 0.9
 
 
+def test_der_collar_forgives_boundary_jitter():
+    ref = [(0.0, 1.0, "A"), (1.35, 2.35, "B")]
+    # hyp boundaries jittered by 0.1 s and padded into the gap
+    hyp = [(0.0, 1.1, "X"), (1.25, 2.35, "Y")]
+    strict = diarization_error_rate(ref, hyp)
+    forgiving = diarization_error_rate(ref, hyp, collar=0.25)
+    assert strict > 0.05          # padding scores as false alarm
+    assert forgiving < 0.01       # collar excludes the boundary zone
+    # collar must not hide a genuine mid-segment confusion
+    hyp_conf = [(0.0, 1.0, "X"), (1.35, 2.35, "X")]
+    assert diarization_error_rate(ref, hyp_conf, collar=0.25) > 0.3
+
+
 def test_purity():
     assert cluster_purity(np.array([0, 0, 1, 1]),
                           np.array([5, 5, 7, 7])) == 1.0

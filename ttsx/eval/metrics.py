@@ -101,9 +101,14 @@ def mel_cepstral_distortion(mel_a: np.ndarray, mel_b: np.ndarray,
 
 def diarization_error_rate(ref_segments: Sequence[Tuple[float, float, str]],
                            hyp_segments: Sequence[Tuple[float, float, str]],
-                           step: float = 0.01) -> float:
+                           step: float = 0.01,
+                           collar: float = 0.0) -> float:
     """Frame-based DER with optimal greedy speaker mapping
-    (host-side replacement for pyannote's DER, cli.py:179-188)."""
+    (host-side replacement for pyannote's DER, cli.py:179-188).
+
+    `collar` excludes frames within +-collar seconds of any reference
+    boundary from scoring (pyannote's convention; 0.25 s is the common
+    reporting value, 0.0 the strict default)."""
     if not ref_segments:
         return 0.0
     end = max(max(e for _, e, _ in ref_segments),
@@ -134,9 +139,15 @@ def diarization_error_rate(ref_segments: Sequence[Tuple[float, float, str]],
         hyp_as_ref = np.where(hyp_grid >= 0, hyp_mapped[hyp_grid], -1)
     else:
         hyp_as_ref = np.full(n, -1)
-    speech = ref_grid >= 0
+    scored = np.ones(n, bool)
+    if collar > 0.0:
+        half = int(round(collar / step))
+        for s, e, _ in ref_segments:
+            for b in (int(s / step), int(e / step)):
+                scored[max(b - half, 0):b + half] = False
+    speech = (ref_grid >= 0) & scored
     errors = np.sum(speech & (hyp_as_ref != ref_grid))
-    miss_or_fa = np.sum(~speech & (hyp_grid >= 0))
+    miss_or_fa = np.sum(~(ref_grid >= 0) & scored & (hyp_grid >= 0))
     total = max(np.sum(speech), 1)
     return float((errors + miss_or_fa) / total)
 

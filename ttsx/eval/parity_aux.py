@@ -126,6 +126,8 @@ def diarizer_parity(n_speakers: int = 3, n_turns: int = 12,
         hyp = [(s, e, spk) for (s, e), spk in
                zip(res.get("slices", []), res.get("speakers", []))]
         return {"der": float(diarization_error_rate(truth, hyp)),
+                "der_collar_250ms": float(diarization_error_rate(
+                    truth, hyp, collar=0.25)),
                 "n_hyp_speakers": len(set(res.get("speakers", []))),
                 "n_slices": len(res.get("slices", []))}
 

@@ -120,6 +120,7 @@ def prosody_parity(steps: int = 4000, frames: int = 128, batch: int = 16,
 
     trained = curve[-1]
     return {"exp": "prosody", "steps": steps, "train_seconds": secs,
+            "energy_domain": "log_rms_z",
             "final_train_loss": last, "eval_utts": int(len(ev["mel"])),
             "val_loss": best["loss"],
             "val_loss_random_weights": rand["loss"],
