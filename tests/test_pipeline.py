@@ -334,6 +334,19 @@ def test_diarizer_separates_alternating_speakers(tmp_path):
     assert changes >= 2
 
 
+def test_slice_embedder_adaptive_fusion_weight():
+    """Dual-source fusion default: the handcrafted voiceprint dominates
+    only when no trained checkpoint is supplied (a trained encoder's
+    same-vs-diff cosine margin is ~0.97 alone; raw mel stats drag it
+    negative — the round-2 spk-split regression)."""
+    from ttsx.pipeline.diarizer.embedding import SliceEmbedder
+    assert SliceEmbedder(AU).spec_weight == 2.0
+    assert SliceEmbedder(AU, params={"w": 0}).spec_weight == 0.5
+    # explicit value always wins
+    assert SliceEmbedder(AU, params={"w": 0},
+                         spec_weight=1.5).spec_weight == 1.5
+
+
 def test_slice_prosody_features():
     from ttsx.pipeline.tiers import slice_prosody_features
     fr = 86.13
