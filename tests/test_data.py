@@ -250,6 +250,49 @@ def test_wav_batch_loader(tmp_path, native):
             assert produced >= consumed and errors == 0
 
 
+def test_native_prefetch_seed_deterministic_and_full_crop_range(tmp_path):
+    """Round-2 review regressions: (a) the native pool must honor `seed`
+    (worker RNGs were keyed on pthread_self, so identical seeds gave
+    different batches every launch); (b) random-crop must be able to pick
+    the last valid offset n-crop (the modulo excluded it)."""
+    from ttsx import native as native_pkg
+
+    if native_pkg.prefetch is None:
+        pytest.skip("no C toolchain")
+    P = native_pkg.prefetch.Prefetcher
+    rng = np.random.default_rng(0)
+    paths, labels = [], []
+    for i in range(3):
+        p = tmp_path / f"r{i}.wav"
+        write_wav(p, rng.standard_normal(3000).astype(np.float32) * 0.3,
+                  16000)
+        paths.append(str(p))
+        labels.append(i)
+
+    def first(seed):
+        pf = P(paths, labels, 1024, 4, workers=1, seed=seed)
+        try:
+            return pf.next()
+        finally:
+            pf.close()
+
+    w1, l1 = first(7)
+    w2, l2 = first(7)
+    assert np.array_equal(w1, w2) and np.array_equal(l1, l2)
+
+    # n = crop + 1: offsets {0, 1} must BOTH occur across seeds
+    single = [paths[0]]
+    starts = set()
+    for s in range(24):
+        pf = P(single, [0], 2999, 2, workers=1, seed=s)
+        try:
+            wav, _ = pf.next()
+        finally:
+            pf.close()
+        starts.add(float(wav[0, 0]))
+    assert len(starts) == 2
+
+
 def test_wav_batch_loader_pads_short_files(tmp_path):
     from ttsx.data import WavBatchLoader
 

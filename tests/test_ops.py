@@ -166,6 +166,34 @@ def test_resblock_stack_kernel_parity(t):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_resblock_stack_vmap_under_mesh_no_fold():
+    """With an active mesh the custom_vmap rule must keep the vmapped
+    band axis leading (lax.map) instead of folding it into the batch
+    axis — folding a replicated axis into a dp-sharded one forces
+    all-gathers (CLAUDE.md invariant). Numerics must match both ways."""
+    from jax.sharding import Mesh
+    from ttsx.ops.resblock_stack_kernel import film_resblock_stack_pallas
+
+    Bv, B, T, C = 3, 2, 40, 16
+    dils = (1, 3)
+    k = jax.random.PRNGKey(3)
+    x = jax.random.normal(k, (Bv, B, T, C))
+    film = jax.random.normal(jax.random.PRNGKey(4), (Bv, B, T, 4 * C))
+    w1s = jax.random.normal(jax.random.PRNGKey(5), (2, 3, C, 2 * C)) * 0.2
+    b1s = jnp.zeros((2, 2 * C))
+    w2s = jax.random.normal(jax.random.PRNGKey(6), (2, 3, C, C)) * 0.2
+    b2s = jnp.zeros((2, C))
+
+    run = jax.vmap(lambda xv, fv: film_resblock_stack_pallas(
+        xv, fv, w1s, b1s, w2s, b2s, dils, interpret=True))
+    ref = run(x, film)  # no mesh: fold path
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    with jax.set_mesh(mesh):
+        got = run(x, film)  # mesh active: lax.map path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_generator_resblock_stack_checkpoint_compatible():
     """Generator with use_pallas_resblock_stack reuses the XLA path's
     checkpoint unchanged and produces the same waveform."""

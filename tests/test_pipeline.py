@@ -231,6 +231,32 @@ def test_stage_chain(tagged_context, tmp_path):
     assert manifest["totals"]["tags"] == 4
 
 
+def test_tier2_empty_trend_uses_drift_fallback(tagged_context, tmp_path):
+    """A prosody_trend.json that exists but has empty series must behave
+    exactly like a missing one: drift-delta z fallback, not zeroed
+    pitch/energy features (round-2 review regression)."""
+    from ttsx.pipeline.tiers import _trend_usable
+    assert not _trend_usable({})
+    assert not _trend_usable({"f0": [], "energy": []})
+    assert not _trend_usable({"f0": [1.0], "energy": []})
+    assert not _trend_usable({"f0": None, "energy": [1.0]})
+    assert _trend_usable({"f0": [1.0, 2.0], "energy": [0.1, 0.2]})
+
+    ctx = tagged_context
+    d = tmp_path / "emotion_tags" / "spkA"
+    DriftStage()(ctx)
+    Tier1Stage()(ctx)
+    # (a) trend missing entirely
+    (d / "prosody_trend.json").unlink()
+    Tier2Stage()(ctx)
+    tags_missing = read_json(d / "tier2_tags.json")["tags"]
+    # (b) trend present but unusable -> identical output
+    write_json_atomic(d / "prosody_trend.json", {"f0": [], "energy": []})
+    Tier2Stage()(ctx)
+    tags_empty = read_json(d / "tier2_tags.json")["tags"]
+    assert tags_empty == tags_missing
+
+
 def test_review_session(tagged_context, tmp_path):
     ctx = tagged_context
     DriftStage()(ctx)

@@ -204,21 +204,9 @@ def refiner_parity(levels: Sequence[int] = (2, 3), steps: int = 2400,
     a_state, a_block = base["_state"], base["_block"]
     corpus, tr, ev = base["_data"]
 
-    def mel_pred_of(data):
-        preds = []
-        mb_all = _model_batch(data)
-        for i in range(0, len(data["mel"]), batch):
-            mb = {k: jnp.asarray(v[i:i + batch])
-                  for k, v in mb_all.items()}
-            if mb["mel"].shape[0] < batch:
-                break
-            preds.append(np.asarray(
-                a_block.val_step(a_state.params, mb)["mel_pred"]))
-        n = len(preds) * batch
-        return np.concatenate(preds), {k: v[:n] for k, v in data.items()}
-
-    tr_pred, tr_cut = mel_pred_of(tr)
-    ev_pred, ev_cut = mel_pred_of(ev)
+    from ttsx.eval.parity_common import _acoustic_preds
+    tr_pred, tr_cut = _acoustic_preds(a_block, a_state, tr, batch)
+    ev_pred, ev_cut = _acoustic_preds(a_block, a_state, ev, batch)
 
     out: Dict = {"exp": "refiner", "acoustic_mcd_db": base["mcd_db"],
                  "space": base["space"], "levels": {},

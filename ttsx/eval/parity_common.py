@@ -47,6 +47,24 @@ def _denorm_mcd(pred_norm: np.ndarray, data: Dict[str, np.ndarray],
     return mcd_fn(raw, data["mel_raw"][j])
 
 
+def _acoustic_preds(a_block, a_state, data: Dict[str, np.ndarray],
+                    batch: int):
+    """Batched acoustic val_step over a features dict; returns
+    (mel_pred [N, T, C], data truncated to the N full batches)."""
+    import jax.numpy as jnp
+
+    preds = []
+    mb_all = _model_batch(data)
+    for i in range(0, len(data["mel"]), batch):
+        mb = {k: jnp.asarray(v[i:i + batch]) for k, v in mb_all.items()}
+        if mb["mel"].shape[0] < batch:
+            break
+        preds.append(np.asarray(
+            a_block.val_step(a_state.params, mb)["mel_pred"]))
+    n = len(preds) * batch
+    return np.concatenate(preds), {k: v[:n] for k, v in data.items()}
+
+
 def _batch_sampler(feats: Dict[str, np.ndarray], batch: int, seed: int):
     rng = np.random.default_rng(seed)
     n = len(feats["mel"])

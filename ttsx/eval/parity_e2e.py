@@ -187,20 +187,9 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
     cfg: TTSXConfig = base["_cfg"]
     hop = int(np.prod(cfg.vocoder.upsample_factors))
 
-    def mel_pred_of(data):
-        preds = []
-        mb_all = _model_batch(data)
-        for i in range(0, len(data["mel"]), batch):
-            mb = {k: jnp.asarray(v[i:i + batch]) for k, v in mb_all.items()}
-            if mb["mel"].shape[0] < batch:
-                break
-            preds.append(np.asarray(
-                a_block.val_step(a_state.params, mb)["mel_pred"]))
-        n = len(preds) * batch
-        return np.concatenate(preds), {k: v[:n] for k, v in data.items()}
-
-    tr_pred, tr_cut = mel_pred_of(tr)
-    ev_pred, ev_cut = mel_pred_of(ev)
+    from ttsx.eval.parity_common import _acoustic_preds
+    tr_pred, tr_cut = _acoustic_preds(a_block, a_state, tr, batch)
+    ev_pred, ev_cut = _acoustic_preds(a_block, a_state, ev, batch)
 
     # refiner trained on the acoustic's own outputs (flagship levels=2)
     r_block = RefinerBlock(cfg)

@@ -60,6 +60,7 @@ typedef struct {
     pthread_cond_t cv_ready, cv_free;
     int stop;
     int started;
+    int next_wid;
     uint64_t produced, consumed, decode_errors;
     uint64_t seed;
 } Prefetcher;
@@ -81,7 +82,9 @@ static int load_item(Prefetcher *pf, const char *path, uint64_t *rng,
     if (!wav)
         return -1;
     if (n >= pf->crop) {
-        size_t start = (n == pf->crop) ? 0 : xorshift64(rng) % (n - pf->crop);
+        /* valid starts are [0, n-crop] inclusive — n-crop+1 choices,
+         * matching the Python fallback's rng.integers(0, n-crop+1) */
+        size_t start = xorshift64(rng) % (n - pf->crop + 1);
         memcpy(out, wav + start, pf->crop * sizeof(float));
     } else {
         memcpy(out, wav, n * sizeof(float));
@@ -93,8 +96,11 @@ static int load_item(Prefetcher *pf, const char *path, uint64_t *rng,
 
 static void *worker_main(void *arg) {
     Prefetcher *pf = (Prefetcher *)arg;
-    uint64_t rng = pf->seed + 0x9E3779B97F4A7C15ULL * (uint64_t)(uintptr_t)
-                   pthread_self();
+    /* deterministic per-worker stream: seed + worker index (an atomic
+     * ticket), like the Python fallback's default_rng(seed + wid) —
+     * pthread_self() here would silently break seed reproducibility */
+    int wid = __sync_fetch_and_add(&pf->next_wid, 1);
+    uint64_t rng = pf->seed + 0x9E3779B97F4A7C15ULL * (uint64_t)(wid + 1);
     xorshift64(&rng);
     for (;;) {
         /* acquire a free slot */
@@ -202,6 +208,7 @@ static int Prefetcher_init(Prefetcher *self, PyObject *args,
     self->n_workers = (int)workers;
     self->seed = (uint64_t)seed + 1;
     self->stop = 0;
+    self->next_wid = 0;
     self->produced = self->consumed = self->decode_errors = 0;
     pthread_mutex_init(&self->mu, NULL);
     pthread_cond_init(&self->cv_ready, NULL);
@@ -269,7 +276,11 @@ static PyObject *Prefetcher_next(Prefetcher *self, PyObject *args,
             break;
         }
     }
-    if (!timed_out && !self->stop) {
+    /* re-check under the lock: a producer may signal concurrently with
+     * timeout expiry (POSIX allows ETIMEDOUT with the predicate true) —
+     * a ready batch always wins over a spurious TimeoutError */
+    (void)timed_out;
+    if (self->ready_count > 0) {
         si = self->ready_ring[self->ready_head];
         self->ready_head = (self->ready_head + 1) % (self->depth + 1);
         self->ready_count--;

@@ -174,9 +174,18 @@ def film_resblock_stack_pallas(x, film, w1s, b1s, w2s, b2s, dilations,
 
         @fn.def_vmap
         def _rule(axis_size, in_batched, x, film, w1s, b1s, w2s, b2s):
+            from jax.sharding import get_abstract_mesh
+
             bc = lambda a, batched: (a if batched else jnp.broadcast_to(
                 a[None], (axis_size,) + a.shape))
-            if any(in_batched[2:]):
+            # under an active mesh the batch axis may be dp-sharded:
+            # folding the (replicated) vmap axis into it would force XLA
+            # to reshard/all-gather activations (CLAUDE.md invariant —
+            # never fold the batch axis). lax.map keeps the vmap axis
+            # leading: one kernel launch per band, batch sharding intact.
+            m = get_abstract_mesh()
+            mesh_active = m is not None and not m.empty
+            if any(in_batched[2:]) or mesh_active:
                 out = jax.lax.map(
                     lambda args: fn(*args),
                     tuple(bc(a, f) for a, f in

@@ -171,6 +171,15 @@ def slice_prosody_features(trend: Dict, tags: List[Dict],
     return rows
 
 
+def _trend_usable(trend: Dict) -> bool:
+    """True if prosody_trend.json carries usable frame series. A file
+    that exists but has empty/missing f0 or energy must still route to
+    the drift-delta fallback — gating on mere presence would silently
+    zero every pitch/energy rule feature."""
+    return min(len(trend.get("f0", []) or []),
+               len(trend.get("energy", []) or [])) > 0
+
+
 class Tier2Stage(Stage):
     name = "tier2"
 
@@ -196,6 +205,7 @@ class Tier2Stage(Stage):
             drift = read_json(d / "drift_vector.json", {})
             trend = read_json(d / "prosody_trend.json", {})
             pros = slice_prosody_features(trend, t1, self.frame_rate)
+            trend_usable = _trend_usable(trend)
             events = drift.get("events", [])
             drift_conf = (np.mean([e["confidence"] for e in events])
                           if events else 0.0)
@@ -206,8 +216,8 @@ class Tier2Stage(Stage):
                 scores = invert_if_negated(tag["text"], tag["scores"])
                 contra = contradiction_score(tag["text"])
                 p = pros[i]
-                if not trend and len(deltas):
-                    # no prosody_trend.json: fall back to drift-delta z
+                if not trend_usable and len(deltas):
+                    # no usable prosody_trend.json: fall back to drift-delta z
                     j = min(i, len(deltas) - 1)
                     z = float((deltas[j] - deltas.mean())
                               / (deltas.std() + 1e-6))
