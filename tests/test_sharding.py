@@ -150,6 +150,43 @@ def test_dp_synthesis_sharded_batch():
                                atol=1e-6)
 
 
+def test_generator_pallas_stack_dp_sharded_equals_single():
+    """Flagship serving scenario from the round-2 review: the Pallas
+    resblock stack under a dp-sharded batch. The custom_vmap rule must
+    keep the band axis leading (no batch-axis fold) and match the
+    unsharded XLA-path waveform."""
+    import dataclasses
+    from ttsx.models.vocoder import Generator
+    from ttsx.core.config import VocoderConfig
+    from jax.sharding import Mesh
+    cfg = VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
+                        disc_ch_growth=2)
+    B, T = 8, 8
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    mel = jax.random.normal(ks[0], (B, T, 80))
+    pros = jax.random.normal(ks[1], (B, T, 18))
+    style = jax.random.normal(ks[2], (B, 16))
+    emo = jax.nn.softmax(jax.random.normal(ks[3], (B, 6)))
+
+    wav_ref = Generator(cfg).apply(
+        p := Generator(cfg).init(jax.random.PRNGKey(3), mel, pros, style,
+                                 emo), mel, pros, style, emo)
+
+    # interpret mode engages automatically off-TPU (vocoder.py:178)
+    gen_pl = Generator(dataclasses.replace(
+        cfg, use_pallas_resblock_stack=True))
+    devices = np.asarray(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devices, axis_names=("dp", "tp"))
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("dp"))
+    with mesh, jax.set_mesh(mesh):
+        params_r = jax.device_put(p, rep)
+        args = [jax.device_put(x, shd) for x in (mel, pros, style, emo)]
+        wav_pl = jax.jit(gen_pl.apply)(params_r, *args)
+    np.testing.assert_allclose(np.asarray(wav_ref), np.asarray(wav_pl),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_generator_band_tp_equals_single():
     """Tensor-parallel band sharding (VocoderConfig.band_tp) on a 4x2
     dp x tp mesh must produce the same waveform as the unsharded
