@@ -360,6 +360,22 @@ def test_diarizer_separates_alternating_speakers(tmp_path):
     assert changes >= 2
 
 
+def test_trim_cross_speaker_overlaps():
+    """Padded-edge trimming: adjacent different-speaker slices split the
+    overlap at the midpoint; same-speaker and non-overlapping pairs are
+    untouched (the strict-DER remainder of the round-2 measurement)."""
+    from ttsx.pipeline.diarizer.controller import trim_cross_speaker_overlaps
+    slices = [(0.0, 2.1), (1.9, 4.1), (3.9, 5.0), (6.0, 7.0)]
+    speakers = ["a", "b", "b", "a"]
+    out = trim_cross_speaker_overlaps(slices, speakers)
+    assert out[0] == (0.0, 2.0) and out[1][0] == 2.0   # a|b split at mid
+    assert out[1][1] == 4.1 and out[2][0] == 3.9       # b|b kept
+    assert out[3] == (6.0, 7.0)                        # gap kept
+    # unsorted input: trimming follows chronological adjacency
+    out2 = trim_cross_speaker_overlaps([slices[1], slices[0]], ["b", "a"])
+    assert out2[1][1] == 2.0 and out2[0][0] == 2.0
+
+
 def test_slice_embedder_adaptive_fusion_weight():
     """Dual-source fusion default: the handcrafted voiceprint dominates
     only when no trained checkpoint is supplied (a trained encoder's

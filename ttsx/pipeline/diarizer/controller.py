@@ -33,6 +33,32 @@ from ttsx.pipeline.diarizer.overlap import detect_overlaps
 from ttsx.pipeline.diarizer.rebuilder import reconstruct_audio
 
 
+def trim_cross_speaker_overlaps(
+        slices: List[Tuple[float, float]],
+        speakers: List) -> List[Tuple[float, float]]:
+    """Split the overlap of chronologically adjacent DIFFERENT-speaker
+    slices at its midpoint.
+
+    dynamic_slice pads every slice by ±0.1 s (slicer.py); at turn
+    boundaries the pads of neighboring turns overlap, so strict DER
+    charges each padded edge as speaker confusion (the round-2 measured
+    remainder: DER 0.17 strict vs 0.00 with a 0.25 s collar). True
+    simultaneous speech is detect_overlaps' job, which runs on the
+    un-trimmed slices."""
+    if len(slices) <= 1:
+        return list(slices)
+    order = sorted(range(len(slices)), key=lambda i: slices[i][0])
+    out = [list(s) for s in slices]
+    for a, b in zip(order, order[1:]):
+        if speakers[a] == speakers[b]:
+            continue
+        if out[b][0] < out[a][1]:
+            mid = 0.5 * (out[b][0] + out[a][1])
+            out[a][1] = mid
+            out[b][0] = mid
+    return [(s, e) for s, e in out]
+
+
 class DiarizerController:
     def __init__(self, au: Optional[AudioConfig] = None,
                  embedder: Optional[SliceEmbedder] = None,
@@ -131,6 +157,9 @@ class DiarizerController:
             times["overlap"] = time.perf_counter() - t
 
             speakers = [mapping[int(l)] for l in labels]
+            # split padded-edge overlaps between different-speaker turns
+            # (after overlap detection, which wants the raw padded slices)
+            slices = trim_cross_speaker_overlaps(slices, speakers)
             if rebuild:
                 t = time.perf_counter()
                 reconstruct_audio(wav, self.au, out, job_id, slices,

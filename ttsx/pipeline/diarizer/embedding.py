@@ -107,8 +107,15 @@ class SliceEmbedder:
         mel_std = np.sqrt(np.maximum(
             ((m - mel_mean[:, None]) ** 2 * msk).sum(1) / denom, 0.0))
         spec = np.concatenate([mel_mean, mel_std], axis=1)
-        spec = (spec - spec.mean(0, keepdims=True)) / (
-            spec.std(0, keepdims=True) + 1e-6)
+        # center per bin across slices but do NOT variance-equalize:
+        # with a handful of slices the per-bin std is a noisy estimate,
+        # and dividing by it amplifies noise-floor bins to unit scale,
+        # drowning the few informative (voiced) bins — measured on the
+        # alternating-tone dialogue, same-speaker voiceprint cosine is
+        # ~1.0 centered-only vs ~0.1 z-scored once silence pads are
+        # snapped off (the z-scored version's apparent separation came
+        # from a silence-fraction artifact, not timbre)
+        spec = spec - spec.mean(0, keepdims=True)
         spec /= np.linalg.norm(spec, axis=1, keepdims=True) + 1e-8
         # weight the voiceprint tail above the learned part: an untrained
         # encoder maps everything near one direction (cos~1) and would
