@@ -150,6 +150,10 @@ def main_synth(argv=None):
     p.add_argument("--text", default="hello world")
     p.add_argument("--frames", type=int, default=256)
     p.add_argument("--checkpoint")
+    p.add_argument("--zoo", nargs="?", const="", metavar="DIR",
+                   help="load the git-tracked pretrained slim exports "
+                        "(default dir: eval_results/zoo); uses the zoo's "
+                        "training config")
     p.add_argument("--sde", action="store_true")
     p.add_argument("--out", default="synth.wav")
     args = p.parse_args(argv)
@@ -162,10 +166,19 @@ def main_synth(argv=None):
     from ttsx.models.pipeline import TTSPipeline
     from ttsx.data.dataset import TextEncoder, write_wav
 
-    cfg = TTSXConfig()
-    pipe = TTSPipeline(cfg)
     rng = jax.random.PRNGKey(args.seed)
-    params = pipe.init_params(rng, batch=1, frames=args.frames)
+    if args.zoo is not None:
+        from ttsx import zoo
+        pipe, params = zoo.load_pipeline(zoo_dir=args.zoo or None, rng=rng,
+                                         frames=args.frames)
+        missing = params.pop("_missing")
+        if missing:
+            print(json.dumps({"zoo_missing_stages": missing}))
+        cfg = pipe.cfg
+    else:
+        cfg = TTSXConfig()
+        pipe = TTSPipeline(cfg)
+        params = pipe.init_params(rng, batch=1, frames=args.frames)
     if args.checkpoint:
         from ttsx.train.checkpoint import restore_checkpoint
         restored = restore_checkpoint(args.checkpoint, "best", params)

@@ -42,10 +42,13 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
     run's Orbax checkpoint is restored and only the remaining steps are
     trained, so quality-curve points (2k/6k/12k/24k/...) extend each
     other instead of retraining from scratch."""
+    import os
+
     import jax
     import jax.numpy as jnp
     from ttsx.train.blocks import VocoderBlock
     from ttsx.train.checkpoint import restore_checkpoint, save_checkpoint
+    from ttsx.train.slim_export import load_vocoder_slim, save_vocoder_slim
 
     block = VocoderBlock(cfg)
     sampler = _batch_sampler(feats, batch, seed)
@@ -57,6 +60,11 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
         if got is not None:
             states, start, _ = got
             start = min(int(start), steps)
+        elif os.path.exists(f"{save_dir}_slim.npz") and steps > 0:
+            # the full Orbax tree is gitignored and dies with the clone at
+            # round boundaries; warm-start G+GST from the tracked slim
+            # export (discriminators/opts re-init, so step count restarts)
+            states = load_vocoder_slim(f"{save_dir}_slim.npz", states)
     d_hist, g_hist = [], []
     parts_hist = {"stft": [], "adv": [], "fm": []}
     t0 = time.perf_counter()
@@ -73,6 +81,8 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
     if save_dir is not None and steps > start:
         save_checkpoint(save_dir, "vocoder_quality", states, steps,
                         extra={"seed": seed, "batch": batch})
+        save_vocoder_slim(f"{save_dir}_slim.npz", states,
+                          meta={"steps": steps})
     tail = {}
     if d_hist:
         tail = {"d_loss_tail_mean": float(np.mean(d_hist[-100:])),
@@ -173,9 +183,14 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
 def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
                vocoder_steps: int = 2000, frames: int = 128,
                batch: int = 8, seed: int = 0,
-               vocoder_save_dir: Optional[str] = None) -> Dict:
+               vocoder_save_dir: Optional[str] = None,
+               zoo_dir: Optional[str] = None) -> Dict:
     """Text -> mel0 -> mel_ref -> waveform with every stage trained; the
-    full-chain quality number (held-out utterances)."""
+    full-chain quality number (held-out utterances).
+
+    With `zoo_dir`, the trained acoustic/refiner/vocoder parameters are
+    exported as git-trackable slim npz files (ttsx.zoo loads them back
+    into a TTSPipeline)."""
     import jax
     import jax.numpy as jnp
     from ttsx.train.blocks import RefinerBlock
@@ -220,6 +235,25 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
                          return_states=True, save_dir=vocoder_save_dir)
     v_block, v_states = voc.pop("_block"), voc.pop("_states")
     voc.pop("_corpus", None)
+
+    if zoo_dir is not None:
+        from pathlib import Path
+
+        from ttsx.train.slim_export import save_slim, save_vocoder_slim
+        zd = Path(zoo_dir)
+        zd.mkdir(parents=True, exist_ok=True)
+        save_slim(str(zd / "acoustic.npz"),
+                  {"acoustic": a_state.params})
+        save_slim(str(zd / "refiner.npz"), {"refiner": r_state.params})
+        save_vocoder_slim(str(zd / "vocoder.npz"), v_states,
+                          meta={"steps": vocoder_steps})
+        (zd / "zoo.json").write_text(__import__("json").dumps(
+            {"steps": {"acoustic": acoustic_steps,
+                       "refiner": refiner_steps,
+                       "vocoder": vocoder_steps},
+             "config": "ttsx.eval.parity._tts_cfg()",
+             "corpus": f"ToneCorpus(n_speakers={corpus.n_speakers})",
+             "seed": seed}, indent=1))
 
     wav_real = ev_cut["wav"][:, :frames * hop, 0]
     wav_e2e = _synth_wav(v_block, v_states, mel_ref, ev_model, 4,
