@@ -136,6 +136,34 @@ def test_wav_quality_voiced_mask():
     assert q0["wav_mcd_db"] < 1e-3 and q0["wav_mcd_voiced_db"] < 1e-3
 
 
+def test_wav_quality_dr40_floor():
+    """The 40 dB dynamic-range-floored MCD must discriminate an inaudible
+    noise floor (perfect copy + -70 dB broadband noise: quiet-bin log
+    ratios blow up the raw MCD) from audible distortion (waveshaping),
+    which the raw readout scores nearly identically."""
+    from ttsx.eval.parity_e2e import _wav_quality
+    sr = 22050
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    real = (0.5 * (np.sin(2 * np.pi * 220 * t)
+                   + 0.3 * np.sin(2 * np.pi * 440 * t))).astype(
+        np.float32)[None]
+    noise = rng.normal(size=real.shape).astype(np.float32)
+    noise *= (np.sqrt((real ** 2).mean())
+              / np.sqrt((noise ** 2).mean())) * 10 ** (-70 / 20)
+    inaudible = real + noise
+    distorted = (np.tanh(3 * real) / 3 * 1.4).astype(np.float32)
+    q_noise = _wav_quality(inaudible, real)
+    q_dist = _wav_quality(distorted, real)
+    # raw MCD can NOT separate the two regimes ...
+    assert q_noise["wav_mcd_db"] > 0.5 * q_dist["wav_mcd_db"]
+    # ... the floored readout separates them by a wide margin
+    assert q_noise["wav_mcd_dr40_db"] < 0.35 * q_dist["wav_mcd_dr40_db"]
+    # and a perfect copy still scores ~0
+    q0 = _wav_quality(real, real)
+    assert q0["wav_mcd_dr40_db"] < 1e-3
+
+
 def test_wav_quality_continuous_voiced():
     """A continuously-voiced signal (no silent gaps) must count ~all frames
     as voiced: the relative loudness threshold only applies when the
