@@ -1,0 +1,82 @@
+"""Synthetic parity corpora: ToneCorpus (narrowband harmonics) and
+FormantCorpus (wideband source-filter speech-shaped audio)."""
+import numpy as np
+import pytest
+
+from ttsx.core.config import AudioConfig
+from ttsx.data.formantcorpus import FormantCorpus
+from ttsx.data.tonecorpus import ToneCorpus
+from ttsx.eval.parity_common import make_corpus
+
+AU = AudioConfig()
+_DR40 = 40.0 * np.log(10.0) / 10.0
+
+
+def test_make_corpus_factory():
+    assert isinstance(make_corpus("tone", n_speakers=2, audio=AU),
+                      ToneCorpus)
+    c = make_corpus("formant", n_speakers=2, audio=AU)
+    assert isinstance(c, FormantCorpus)
+    with pytest.raises(ValueError):
+        make_corpus("speech")
+
+
+def test_formant_deterministic():
+    a = FormantCorpus(n_speakers=2, audio=AU, seed=3)
+    b = FormantCorpus(n_speakers=2, audio=AU, seed=3)
+    ua = a.utterance(1, 32, np.random.default_rng(7))
+    ub = b.utterance(1, 32, np.random.default_rng(7))
+    np.testing.assert_array_equal(ua.wav, ub.wav)
+    np.testing.assert_array_equal(ua.phoneme_ids, ub.phoneme_ids)
+
+
+def test_formant_features_contract_and_broadband():
+    c = FormantCorpus(n_speakers=3, audio=AU, seed=0)
+    utts = c.utterances(2, 48, seed=1)
+    f = c.features(utts)
+    T = f["mel"].shape[1]
+    assert f["wav"].shape == (6, 48 * AU.hop_length, 1)
+    assert f["mel"].shape == (6, T, 80) and T <= 48
+    assert f["prosody"].shape == (6, T, 18)
+    assert np.isfinite(f["wav"]).all() and np.isfinite(f["mel"]).all()
+    # wideband: vast majority of mel bins within 40 dB of the utterance
+    # peak (the tone corpus sits ~2/3 BELOW that floor) — the property
+    # that makes raw MCD readouts comparable on this corpus
+    dr = f["mel"].max(axis=(1, 2), keepdims=True) - f["mel"]
+    assert (dr < _DR40).mean() > 0.9
+
+
+def test_formant_f0_tracked():
+    c = FormantCorpus(n_speakers=2, audio=AU, seed=0)
+    rng = np.random.default_rng(0)
+    u = c.utterance(0, 64, rng)
+    f = c.features([u])
+    f0 = f["f0"][0]
+    med = np.median(f0[f0 > 0])
+    # declination spans 1.05->0.92 around the base
+    assert 0.9 * u.f0_hz < med < 1.07 * u.f0_hz
+
+
+def test_formant_speakers_differ_in_timbre():
+    """Same f0 group, different vocal-tract scale -> different spectral
+    envelope (the property the EER experiment learns)."""
+    c = FormantCorpus(n_speakers=4, audio=AU, seed=0, n_f0_groups=1)
+    rng = np.random.default_rng(2)
+    mels = []
+    for spk in range(4):
+        f = c.features([c.utterance(spk, 48, rng) for _ in range(2)])
+        mels.append(f["mel"].mean(axis=(0, 1)))  # [80] mean log-mel
+    mels = np.stack(mels)
+    mels -= mels.mean(axis=1, keepdims=True)
+    sim = np.corrcoef(mels)
+    off = sim[~np.eye(4, dtype=bool)]
+    # envelopes correlate far less across speakers than with themselves
+    assert off.max() < 0.995 and off.mean() < 0.9
+
+
+def test_formant_dialogue_inherited():
+    c = FormantCorpus(n_speakers=3, audio=AU, seed=0)
+    wav, segs = c.dialogue([0, 1], n_turns=4, turn_frames=(20, 30), seed=0)
+    assert wav.ndim == 1 and len(segs) == 4
+    assert segs[0][2] == "spk0" and segs[1][2] == "spk1"
+    assert np.isfinite(wav).all()

@@ -17,20 +17,23 @@ from ttsx.data.tonecorpus import ToneCorpus
 from ttsx.eval.parity import (AUDIO, _batch_sampler, _tts_cfg,
                               acoustic_parity, refenc_parity,
                               refiner_parity)
+from ttsx.eval.parity_common import make_corpus
 
 
 # ---------------------------------------------------------------------------
 # 4. vocoder GAN smoke at reference-capacity discriminators
 # ---------------------------------------------------------------------------
 def vocoder_gan_smoke(steps: int = 500, frames: int = 64, batch: int = 4,
-                      n_speakers: int = 4, seed: int = 0) -> Dict:
+                      n_speakers: int = 4, seed: int = 0,
+                      corpus: str = "tone") -> Dict:
     import jax
     import jax.numpy as jnp
     from ttsx.train.blocks import VocoderBlock
     from ttsx.eval.parity import _normalize_mels, _model_batch
 
     cfg = _tts_cfg()
-    corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed)
+    corpus = make_corpus(corpus, n_speakers=n_speakers, audio=AUDIO,
+                         seed=seed)
     # normalized mel input — the space the flagship's generator sees
     feats = _model_batch(_normalize_mels(
         corpus.features(corpus.utterances(8, frames, seed=seed))))
@@ -104,15 +107,16 @@ def _train_slice_encoder(corpus: ToneCorpus, frames: int = 128,
 
 def diarizer_parity(n_speakers: int = 3, n_turns: int = 12,
                     seed: int = 0, out_dir: Optional[str] = None,
-                    trained: bool = True, train_steps: int = 400) -> Dict:
+                    trained: bool = True, train_steps: int = 400,
+                    corpus: str = "tone") -> Dict:
     import tempfile
     from ttsx.data.dataset import write_wav
     from ttsx.pipeline.diarizer.controller import DiarizerController
     from ttsx.pipeline.diarizer.embedding import SliceEmbedder
     from ttsx.eval.metrics import diarization_error_rate
 
-    corpus = ToneCorpus(n_speakers=max(n_speakers, 4), audio=AUDIO,
-                        seed=seed)
+    corpus = make_corpus(corpus, n_speakers=max(n_speakers, 4),
+                         audio=AUDIO, seed=seed)
     wav, truth = corpus.dialogue(list(range(n_speakers)), n_turns,
                                  seed=seed)
     out = Path(out_dir or tempfile.mkdtemp())

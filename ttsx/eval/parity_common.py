@@ -15,6 +15,22 @@ AUDIO = AudioConfig(mel_normalize=False)
 _STATS_KEYS = ("mel_raw", "mel_mean", "mel_std")
 
 
+def make_corpus(kind: str = "tone", **kw):
+    """Corpus factory shared by every parity experiment.
+
+    "tone" = narrowband additive harmonics (fast learnability checks);
+    "formant" = wideband source-filter speech-shaped audio
+    (ttsx/data/formantcorpus.py). CLI: --arg corpus='"formant"'."""
+    from ttsx.data.tonecorpus import ToneCorpus
+    if kind == "tone":
+        return ToneCorpus(**kw)
+    if kind == "formant":
+        from ttsx.data.formantcorpus import FormantCorpus
+        return FormantCorpus(**kw)
+    raise ValueError(f"unknown corpus kind {kind!r} "
+                     "(expected 'tone' or 'formant')")
+
+
 def _speaker_vec(ids: np.ndarray, dim: int, n_speakers: int) -> np.ndarray:
     """One-hot speaker conditioning padded/cropped to `dim`."""
     eye = np.eye(max(n_speakers, dim), dtype=np.float32)[:, :dim]

@@ -29,6 +29,7 @@ from ttsx.core.config import TTSXConfig
 from ttsx.data.tonecorpus import ToneCorpus
 from ttsx.eval.parity import _tts_cfg, acoustic_parity
 from ttsx.eval.parity_common import (AUDIO, _batch_sampler, _model_batch,
+                                     make_corpus,
                                      _normalize_mels, _wav_quality)
 
 
@@ -122,7 +123,8 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
                    utts_eval: int = 3, seed: int = 0,
                    return_states: bool = False,
                    save_dir: Optional[str] = None,
-                   vocoder_overrides: Optional[Dict] = None) -> Dict:
+                   vocoder_overrides: Optional[Dict] = None,
+                   corpus: str = "tone") -> Dict:
     """Train the GAN vocoder on tones; report held-out wav-domain quality
     (trained vs random weights).
 
@@ -139,7 +141,9 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
             cfg, vocoder=dataclasses.replace(cfg.vocoder,
                                              **vocoder_overrides))
     hop = int(np.prod(cfg.vocoder.upsample_factors))
-    corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed)
+    corpus_kind = corpus
+    corpus = make_corpus(corpus, n_speakers=n_speakers, audio=AUDIO,
+                         seed=seed)
 
     def prep(utts):
         f = _model_batch(_normalize_mels(corpus.features(utts)))
@@ -167,6 +171,7 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
     q_ema = _wav_quality(wav_ema, ev["wav"][:len(wav_ema), :, 0])
 
     res: Dict = {"exp": "vocoder_quality", "steps": steps,
+                 "corpus": corpus_kind,
                  "train_seconds": secs, "eval_utts": int(len(wav_fake)),
                  "space": "generator input is per-utterance-normalized "
                           "log-mel; quality measured on raw waveforms",
@@ -184,7 +189,8 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
                vocoder_steps: int = 2000, frames: int = 128,
                batch: int = 8, seed: int = 0,
                vocoder_save_dir: Optional[str] = None,
-               zoo_dir: Optional[str] = None) -> Dict:
+               zoo_dir: Optional[str] = None,
+               corpus: str = "tone") -> Dict:
     """Text -> mel0 -> mel_ref -> waveform with every stage trained; the
     full-chain quality number (held-out utterances).
 
@@ -195,8 +201,9 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
     import jax.numpy as jnp
     from ttsx.train.blocks import RefinerBlock
 
+    corpus_kind = corpus
     base = acoustic_parity(steps=acoustic_steps, batch=16, frames=frames,
-                           seed=seed, return_states=True)
+                           seed=seed, return_states=True, corpus=corpus)
     a_state, a_block = base["_state"], base["_block"]
     corpus, tr, ev = base["_data"]
     cfg: TTSXConfig = base["_cfg"]
@@ -232,7 +239,8 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
     # vocoder_quality run is reused instead of retraining from scratch
     voc = vocoder_parity(steps=vocoder_steps, frames=64, batch=4,
                          n_speakers=corpus.n_speakers, seed=seed,
-                         return_states=True, save_dir=vocoder_save_dir)
+                         return_states=True, save_dir=vocoder_save_dir,
+                         corpus=corpus_kind)
     v_block, v_states = voc.pop("_block"), voc.pop("_states")
     voc.pop("_corpus", None)
 
@@ -252,7 +260,8 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
                        "refiner": refiner_steps,
                        "vocoder": vocoder_steps},
              "config": "ttsx.eval.parity._tts_cfg()",
-             "corpus": f"ToneCorpus(n_speakers={corpus.n_speakers})",
+             "corpus": f"{type(corpus).__name__}"
+                       f"(n_speakers={corpus.n_speakers})",
              "seed": seed}, indent=1))
 
     wav_real = ev_cut["wav"][:, :frames * hop, 0]

@@ -21,7 +21,7 @@ from typing import Dict
 import numpy as np
 
 from ttsx.data.tonecorpus import ToneCorpus
-from ttsx.eval.parity_common import AUDIO, _normalize_mels
+from ttsx.eval.parity_common import AUDIO, _normalize_mels, make_corpus
 
 
 def _pearson(a: np.ndarray, b: np.ndarray) -> float:
@@ -35,7 +35,8 @@ def prosody_parity(steps: int = 4000, frames: int = 128, batch: int = 16,
                    n_speakers: int = 8, utts_train: int = 60,
                    utts_eval: int = 8, seed: int = 0,
                    cond_dim: int = 256, n_layers: int = 4,
-                   intonation: float = 0.2) -> Dict:
+                   intonation: float = 0.2,
+                   corpus: str = "tone") -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -53,8 +54,8 @@ def prosody_parity(steps: int = 4000, frames: int = 128, batch: int = 16,
         mfcc_weight=0.05,
         s4=S4Config(heads=4, l_max=1024, causal=False, norm_groups=4,
                     dropout=0.1))
-    corpus = ToneCorpus(n_speakers=n_speakers, audio=AUDIO, seed=seed,
-                        intonation=intonation)
+    corpus = make_corpus(corpus, n_speakers=n_speakers, audio=AUDIO,
+                         seed=seed, intonation=intonation)
     tr = _normalize_mels(corpus.features(
         corpus.utterances(utts_train, frames, seed=seed)))
     ev = _normalize_mels(corpus.features(
