@@ -80,3 +80,22 @@ def test_formant_dialogue_inherited():
     assert wav.ndim == 1 and len(segs) == 4
     assert segs[0][2] == "spk0" and segs[1][2] == "spk1"
     assert np.isfinite(wav).all()
+
+
+def test_mel_energy_gain_recovers_scale():
+    """A 0.5x-attenuated waveform vs the full-scale mel must yield a ~2x
+    gain; a matched pair yields ~1. (Input-only loudness normalization —
+    parity_common.mel_energy_gain.)"""
+    from ttsx.eval.parity_common import AUDIO as PA, mel_energy_gain
+    import jax.numpy as jnp
+    from ttsx.dsp import mel_spectrogram
+
+    sr = PA.sample_rate
+    t = np.arange(sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)
+           + 0.1 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)[None]
+    mel_req = np.asarray(mel_spectrogram(jnp.asarray(wav), PA))
+    g = mel_energy_gain(0.5 * wav, mel_req, PA)
+    np.testing.assert_allclose(g, 2.0, rtol=0.05)
+    g1 = mel_energy_gain(wav, mel_req, PA)
+    np.testing.assert_allclose(g1, 1.0, rtol=0.02)

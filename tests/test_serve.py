@@ -104,3 +104,22 @@ def test_services_fallbacks_and_registry():
     # summarizer fallback
     s = services.summarize(["I love this wonderful day", "meh"])
     assert isinstance(s, str) and len(s) > 0
+
+
+def test_synthesis_server_loudness_peak(pipe_params):
+    pipe, params = pipe_params
+    rng = np.random.default_rng(1)
+    reqs = [SynthesisRequest(
+        text_emb=rng.normal(size=(6, 16)).astype(np.float32),
+        prosody=rng.normal(size=(6, 18)).astype(np.float32),
+        emotion_probs=np.full(6, 1 / 6, np.float32),
+        speaker=rng.normal(size=8).astype(np.float32),
+        style_id=0)]
+    kw = dict(max_batch=2, frames=8)
+    w0 = SynthesisServer(CFG, params, **kw).serve_batch(reqs)[0]
+    w1 = SynthesisServer(CFG, params, loudness_peak=0.3,
+                         **kw).serve_batch(reqs)[0]
+    np.testing.assert_allclose(float(np.abs(w1).max()), 0.3, rtol=1e-4)
+    # pure rescale: waveshape preserved
+    np.testing.assert_allclose(w1 / np.abs(w1).max(),
+                               w0 / np.abs(w0).max(), atol=2e-2)

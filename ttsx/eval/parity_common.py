@@ -31,6 +31,32 @@ def make_corpus(kind: str = "tone", **kw):
                      "(expected 'tone' or 'formant')")
 
 
+def mel_energy_gain(wav: np.ndarray, mel_req: np.ndarray,
+                    audio: AudioConfig) -> np.ndarray:
+    """Per-utterance scalar gain matching the re-analyzed mel ENERGY of
+    `wav` [B, N] to a requested raw (natural-log, unnormalized) mel
+    [B, T, M] — input-only loudness normalization for the vocoder.
+
+    The generator's conditioning carries no absolute-scale cue (input mel
+    is per-utterance normalized, the prosody energy channel is z-scored,
+    cepstra exclude c0), so trained generators plateau at rms_ratio
+    0.65-0.70. The gain must be matched in the LINEAR energy domain
+    (sqrt of summed exp(2*mel)): the log-mel MEAN goes the wrong way,
+    because the under-loud generator simultaneously over-produces
+    noise-floor bins, which dominate a log-domain average (measured:
+    mean-log gains 0.44-0.97 vs energy gains 0.99-2.25 on the same
+    utterances; energy matching reaches rms_ratio 0.986 vs an oracle RMS
+    match at 1.0)."""
+    import jax.numpy as jnp
+    from ttsx.dsp import mel_spectrogram
+
+    mel_gen = np.asarray(mel_spectrogram(jnp.asarray(wav), audio))
+    t = min(mel_gen.shape[1], mel_req.shape[1])
+    e_req = np.exp(2.0 * mel_req[:, :t]).mean(axis=(1, 2))
+    e_gen = np.exp(2.0 * mel_gen[:, :t]).mean(axis=(1, 2))
+    return np.sqrt(e_req / np.maximum(e_gen, 1e-20))
+
+
 def _speaker_vec(ids: np.ndarray, dim: int, n_speakers: int) -> np.ndarray:
     """One-hot speaker conditioning padded/cropped to `dim`."""
     eye = np.eye(max(n_speakers, dim), dtype=np.float32)[:, :dim]

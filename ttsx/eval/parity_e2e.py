@@ -29,7 +29,7 @@ from ttsx.core.config import TTSXConfig
 from ttsx.data.tonecorpus import ToneCorpus
 from ttsx.eval.parity import _tts_cfg, acoustic_parity
 from ttsx.eval.parity_common import (AUDIO, _batch_sampler, _model_batch,
-                                     make_corpus,
+                                     make_corpus, mel_energy_gain,
                                      _normalize_mels, _wav_quality)
 
 
@@ -146,13 +146,15 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
                          seed=seed)
 
     def prep(utts):
-        f = _model_batch(_normalize_mels(corpus.features(utts)))
+        full = _normalize_mels(corpus.features(utts))
+        f = _model_batch(full)
         T = f["mel"].shape[1]
         f["wav"] = f["wav"][:, :T * hop]
-        return f
+        return f, full["mel_raw"][:, :T]
 
-    tr = prep(corpus.utterances(utts_train, frames, seed=seed))
-    ev = prep(corpus.utterances(utts_eval, frames, seed=seed + 1))
+    tr, _ = prep(corpus.utterances(utts_train, frames, seed=seed))
+    ev, ev_mel_raw = prep(corpus.utterances(utts_eval, frames,
+                                            seed=seed + 1))
 
     # random-weight baseline from a fresh init (same seed)
     block, states, _, _ = _train_vocoder(cfg, tr, 0, batch, seed)
@@ -169,6 +171,12 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
     q = _wav_quality(wav_fake, ev["wav"][:len(wav_fake), :, 0])
     wav_ema = _synth_wav(block, states, ev["mel"], ev, batch, use_ema=True)
     q_ema = _wav_quality(wav_ema, ev["wav"][:len(wav_ema), :, 0])
+    # input-only loudness normalization (parity_common.mel_energy_gain):
+    # the requested raw mel is model INPUT at copy-synthesis time, so the
+    # gain uses no target-waveform information
+    g = mel_energy_gain(wav_ema, ev_mel_raw[:len(wav_ema)], AUDIO)
+    q_gm = _wav_quality(wav_ema * g[:, None],
+                        ev["wav"][:len(wav_ema), :, 0])
 
     res: Dict = {"exp": "vocoder_quality", "steps": steps,
                  "corpus": corpus_kind,
@@ -177,6 +185,8 @@ def vocoder_parity(steps: int = 2000, frames: int = 64, batch: int = 4,
                           "log-mel; quality measured on raw waveforms",
                  **{k: v for k, v in q.items()},
                  **{f"{k}_ema": v for k, v in q_ema.items()},
+                 **{f"{k}_gm_ema": v for k, v in q_gm.items()},
+                 "gain_match_mean": float(g.mean()),
                  **{f"{k}_random_weights": v for k, v in q_rand.items()},
                  **tail}
     if return_states:

@@ -39,7 +39,8 @@ class SynthesisServer:
 
     def __init__(self, cfg: TTSXConfig, params, mesh=None,
                  max_batch: int = 8, frames: int = 512,
-                 bf16: bool = True, chain: bool = True):
+                 bf16: bool = True, chain: bool = True,
+                 loudness_peak: Optional[float] = None):
         self.cfg = cfg
         self.pipe = TTSPipeline(cfg)
         # bf16 halves activation HBM — at B=4 x 10 s the f32 generator
@@ -62,6 +63,14 @@ class SynthesisServer:
         # while per-stage graphs compile in seconds, and async dispatch
         # pipelines the chain with no RTF loss.
         self.chain = chain
+        # opt-in output loudness target: the generator's conditioning has
+        # no absolute-scale cue (normalized mel, z-scored energy, c0-less
+        # cepstra), so trained generators sit at ~0.7x reference RMS;
+        # peak-normalizing each utterance to `loudness_peak` is the
+        # serving-side answer (eval keeps raw output; see
+        # parity_common.mel_energy_gain for the input-mel-derived gain
+        # used when an absolute-scale mel IS available)
+        self.loudness_peak = loudness_peak
         if chain:
             self._ac_fn = jax.jit(
                 lambda p, t, pr, e, s: self.pipe.acoustic.apply(
@@ -132,7 +141,12 @@ class SynthesisServer:
             wav = self._run(*arrays)
         wav = np.asarray(wav)
         hop = self.cfg.vocoder.hop_length
-        return [wav[i, : int(lens[i]) * hop, 0] for i in range(len(reqs))]
+        outs = [wav[i, : int(lens[i]) * hop, 0].astype(np.float32)
+                for i in range(len(reqs))]
+        if self.loudness_peak is not None:
+            outs = [w * (self.loudness_peak / max(float(np.abs(w).max()),
+                                                  1e-8)) for w in outs]
+        return outs
 
 
 def make_voice_transform(cfg: TTSXConfig, pipe: Optional[TTSPipeline] = None,
