@@ -98,23 +98,33 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
 def _synth_wav(block, states, mel_norm: np.ndarray,
                feats: Dict[str, np.ndarray], batch: int,
                use_ema: bool = True) -> np.ndarray:
-    """Deterministic mel->wav through the trained generator ([B, N])."""
+    """Deterministic mel->wav through the trained generator ([B, N]).
+
+    Runs at matmul precision "highest": TPU default precision computes
+    f32 convs with bf16 multiplies, and the resulting broadband noise
+    dominates the quality readout of a well-trained generator — the same
+    84k checkpoint measures 0.90 STFT log-L1 / 67.5 dB raw MCD at default
+    precision vs 0.61 / 55.3 at full f32 (measured, round 2). Training is
+    left at default precision (GAN dynamics + speed); this is the
+    serve-at-best-quality path."""
+    import jax
     import jax.numpy as jnp
 
     gen_params = (states.gen.ema_params
                   if use_ema and states.gen.ema_params is not None
                   else states.gen.params)
     outs = []
-    for i in range(0, mel_norm.shape[0], batch):
-        mb = {"mel_ref": jnp.asarray(mel_norm[i:i + batch]),
-              "prosody": jnp.asarray(feats["prosody"][i:i + batch]),
-              "emotion_probs": jnp.asarray(
-                  feats["emotion_probs"][i:i + batch])}
-        if mb["mel_ref"].shape[0] < batch:
-            break
-        wav = block._synthesize(gen_params, states.gst.params, mb,
-                                rng=None, train=False)
-        outs.append(np.asarray(wav)[..., 0])
+    with jax.default_matmul_precision("highest"):
+        for i in range(0, mel_norm.shape[0], batch):
+            mb = {"mel_ref": jnp.asarray(mel_norm[i:i + batch]),
+                  "prosody": jnp.asarray(feats["prosody"][i:i + batch]),
+                  "emotion_probs": jnp.asarray(
+                      feats["emotion_probs"][i:i + batch])}
+            if mb["mel_ref"].shape[0] < batch:
+                break
+            wav = block._synthesize(gen_params, states.gst.params, mb,
+                                    rng=None, train=False)
+            outs.append(np.asarray(wav)[..., 0])
     return np.concatenate(outs)
 
 
