@@ -222,6 +222,15 @@ class VocoderConfig:
     # (rms_ratio ~0.65-0.68 at 24-48k steps). 0.0 = off, preserving
     # comparability of the recorded round-2 quality curve.
     lambda_energy: float = 0.0
+    # opt-in absolute-scale conditioning channel: the generator's inputs
+    # carry no absolute loudness cue (per-utterance-normalized mel,
+    # z-scored prosody energy, c0-less cepstra — measured root cause of
+    # the rms_ratio 0.65-0.70 plateau, round 2). When on, the Generator
+    # takes the per-utterance mel normalization stats [mean || std]
+    # ([B, 2*channels], input-only at copy-synthesis) as an extra
+    # zero-init conditioning projection. Off by default to preserve the
+    # recorded round-2 quality curve's comparability.
+    scale_cond: bool = False
     ema_decay: float = 0.999
     # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
     # off by default until trained-quality validation (round-2 agenda)

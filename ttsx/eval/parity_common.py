@@ -74,6 +74,13 @@ def _normalize_mels(d: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out = dict(d)
     out["mel"] = ((raw - mean) / std).astype(np.float32)
     out["mel_raw"], out["mel_mean"], out["mel_std"] = raw, mean, std
+    # absolute-scale conditioning channel (VocoderConfig.scale_cond):
+    # [mean || std] per utterance, [B, 2M]. Input-only — the stats come
+    # from the requested mel, which IS the model input at copy-synthesis
+    # time (same argument as mel_energy_gain below). Kept in model
+    # batches; blocks ignore it unless scale_cond is on.
+    out["mel_scale"] = np.concatenate(
+        [mean[:, 0, :], std[:, 0, :]], axis=-1).astype(np.float32)
     return out
 
 

@@ -120,6 +120,9 @@ def _synth_wav(block, states, mel_norm: np.ndarray,
                   "prosody": jnp.asarray(feats["prosody"][i:i + batch]),
                   "emotion_probs": jnp.asarray(
                       feats["emotion_probs"][i:i + batch])}
+            if "mel_scale" in feats:  # absolute-scale cue (scale_cond)
+                mb["mel_scale"] = jnp.asarray(
+                    feats["mel_scale"][i:i + batch])
             if mb["mel_ref"].shape[0] < batch:
                 break
             wav = block._synthesize(gen_params, states.gst.params, mb,

@@ -198,6 +198,7 @@ class Generator(nn.Module):
         emo_drop: bool = False,
         w_style: float = 1.0,
         w_emo: float = 1.0,
+        scale: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         B, T, C = mel.shape
@@ -215,6 +216,16 @@ class Generator(nn.Module):
         if emo_drop:
             c_emo = jnp.zeros_like(c_emo)
         cond = c_pros + c_sty + c_emo  # [B, T, cond_dim]
+        if cfg.scale_cond:
+            # absolute-scale cue (VocoderConfig.scale_cond): per-utterance
+            # mel normalization stats [mean || std], [B, 2*channels].
+            # Zero kernel init: a fresh scale_cond model reproduces the
+            # scale-free forward exactly until trained.
+            if scale is None:
+                scale = jnp.zeros((B, 2 * C), mel.dtype)
+            c_scale = nn.Dense(cfg.cond_dim, name="scale_proj",
+                               kernel_init=nn.initializers.zeros)(scale)
+            cond = cond + c_scale[:, None]
         # keep the FiLM conditioning O(1) regardless of the prosody
         # feature scale (raw MFCC dims reach std ~9 on real features)
         cond = nn.LayerNorm(name="cond_norm")(cond)

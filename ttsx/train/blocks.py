@@ -229,8 +229,10 @@ class VocoderBlock:
         mel = batch["mel"]
         wav = batch["wav"]
         style = jnp.zeros((mel.shape[0], vc.style_dim), mel.dtype)
+        scale = batch.get("mel_scale") if vc.scale_cond else None
         gp = jax.jit(lambda k: self.gen.init(
-            k, mel, batch["prosody"], style, batch["emotion_probs"]))(r[0])
+            k, mel, batch["prosody"], style, batch["emotion_probs"],
+            scale=scale))(r[0])
         gstp = jax.jit(lambda k: self.gst.init(k, mel))(r[1])
         mpdp = jax.jit(lambda k: self.mpd.init(k, wav))(r[2])
         msdp = jax.jit(lambda k: self.msd.init(k, wav))(r[3])
@@ -267,8 +269,10 @@ class VocoderBlock:
             emotion = batch["emotion_probs"] * emo_mask
         else:
             emotion = batch["emotion_probs"]
+        scale = (batch.get("mel_scale")
+                 if self.cfg.vocoder.scale_cond else None)
         return self.gen.apply(gen_params, mel, batch["prosody"], style,
-                              emotion)
+                              emotion, scale=scale)
 
     @partial(jax.jit, static_argnums=(0,))
     def disc_step(self, states: VocoderStates, batch: Dict):

@@ -43,11 +43,17 @@ def save_slim(path: str, trees: Dict[str, Any]) -> None:
     np.savez_compressed(path, **out)
 
 
-def load_slim(path: str, templates: Dict[str, Any]) -> Dict[str, Any]:
+def load_slim(path: str, templates: Dict[str, Any],
+              allow_missing: bool = False) -> Dict[str, Any]:
     """Restore pytrees from a `save_slim` file.
 
     `templates` supplies the tree structure and target dtypes (a fresh
-    `.init()` result); every template leaf must be present in the file.
+    `.init()` result); every template leaf must be present in the file
+    unless `allow_missing` — then absent leaves keep their template
+    (fresh-init) values. That is the warm-start upgrade path for params
+    added after an export was written (e.g. the zero-init `scale_proj`
+    of VocoderConfig.scale_cond: fresh zeros reproduce the exported
+    model's forward exactly until trained).
     """
     with np.load(path) as data:
         stored = {k: data[k] for k in data.files}
@@ -58,6 +64,9 @@ def load_slim(path: str, templates: Dict[str, Any]) -> Dict[str, Any]:
         for kp, tleaf in flat:
             key = f"{name}|{jax.tree_util.keystr(kp)}"
             if key not in stored:
+                if allow_missing:
+                    leaves.append(np.asarray(tleaf))
+                    continue
                 raise KeyError(f"slim export {path!r} is missing {key!r}")
             arr = stored[key]
             if arr.shape != np.shape(tleaf):
@@ -87,7 +96,8 @@ def load_vocoder_slim(path: str, states: Any) -> Any:
     """Return `states` with generator live+EMA params and GST params
     replaced by a slim export (shapes must match the fresh init)."""
     got = load_slim(path, {"gen_ema": states.gen.params,
-                           "gst": states.gst.params})
+                           "gst": states.gst.params},
+                    allow_missing=True)
     gen = states.gen.replace(params=got["gen_ema"])
     if states.gen.ema_params is not None:
         gen = gen.replace(ema_params=got["gen_ema"])
