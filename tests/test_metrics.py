@@ -176,3 +176,16 @@ def test_wav_quality_continuous_voiced():
     real = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
     q = _wav_quality(real, real)
     assert q["voiced_frac"] > 0.9, q
+
+
+def test_der_overlap_aware():
+    """Frames with two simultaneous reference speakers score correct if
+    the hypothesis matches EITHER (dialogue_hard overlapped turns)."""
+    ref = [(0.0, 2.0, "a"), (1.5, 3.5, "b")]  # 1.5-2.0 overlapped
+    hyp_a = [(0.0, 2.0, "x"), (2.0, 3.5, "y")]  # overlap region -> a
+    hyp_b = [(0.0, 1.5, "x"), (1.5, 3.5, "y")]  # overlap region -> b
+    assert diarization_error_rate(ref, hyp_a) < 0.01
+    assert diarization_error_rate(ref, hyp_b) < 0.01
+    # non-overlapping behavior unchanged: wrong-speaker still errors
+    hyp_bad = [(0.0, 3.5, "x")]
+    assert diarization_error_rate(ref, hyp_bad) > 0.3

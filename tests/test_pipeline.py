@@ -494,3 +494,39 @@ def test_negation_guard_survives_punctuation():
         out = invert_if_negated(text, scores)
         assert out == scores, text  # scorer already inverted; no re-flip
         assert out["compound"] < 0, text  # and the result reads negative
+
+
+def test_overlap_net_learns_and_screens():
+    """The trained overlap screen (reference overlap.py:18-33 analog —
+    which ships RANDOM weights) must actually separate two-speaker
+    mixtures from single-speaker windows."""
+    from ttsx.data.tonecorpus import ToneCorpus
+    from ttsx.eval.parity_common import AUDIO
+    from ttsx.pipeline.diarizer.overlap_net import (OverlapScreen,
+                                                    train_overlap_net)
+    corpus = ToneCorpus(n_speakers=6, audio=AUDIO)
+    net = train_overlap_net(corpus, AUDIO, steps=120, n_train=96, seed=0)
+    assert net["eval"]["acc"] > 0.8, net["eval"]
+    screen = OverlapScreen(AUDIO, net["params"])
+    rng = np.random.default_rng(0)
+    solo = corpus.utterance(0, 32, rng).wav
+    duo = solo + corpus.utterance(3, 32, rng).wav
+    assert screen(duo) > screen(solo)
+
+
+def test_detect_overlaps_screen_path():
+    """With a screen, junction acceptance is the screen's call."""
+    from ttsx.core.config import AudioConfig
+    from ttsx.pipeline.diarizer.overlap import detect_overlaps
+    au = AudioConfig()
+    wav = np.random.default_rng(0).normal(
+        size=au.sample_rate * 4).astype(np.float32) * 0.1
+    slices = [(0.0, 1.0), (1.1, 2.0), (2.05, 3.0)]
+    labels = np.asarray([0, 1, 0])
+    embs = np.eye(3, 8, dtype=np.float32)
+    hits = detect_overlaps(wav, au, slices, labels, embs,
+                           screen=lambda w: 0.9)
+    assert len(hits) == 2 and all(h[4] == 0.9 for h in hits)
+    none = detect_overlaps(wav, au, slices, labels, embs,
+                           screen=lambda w: 0.1)
+    assert none == []

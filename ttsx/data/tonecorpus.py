@@ -214,3 +214,55 @@ class ToneCorpus:
             pieces.extend([utt.wav, gap])
             cursor += dur + gap_s
         return np.concatenate(pieces), segs
+
+    def dialogue_hard(self, speakers: Sequence[int], n_turns: int,
+                      turn_frames: Tuple[int, int] = (80, 160),
+                      gap_s: Tuple[float, float] = (0.2, 0.6),
+                      overlap_prob: float = 0.3,
+                      overlap_s: Tuple[float, float] = (0.15, 0.5),
+                      noise_db: Optional[float] = None, seed: int = 0):
+        """Hard diarization stream: random (non-repeating) speaker order,
+        variable gaps, OVERLAPPED turn onsets with probability
+        `overlap_prob`, and optional additive noise at `noise_db` SNR.
+
+        Returns (wav, segs, overlap_regions): `segs` are the true
+        per-turn intervals (they genuinely overlap), `overlap_regions`
+        the [(start_s, end_s)] where two speakers are simultaneous —
+        ground truth for the overlap-screen precision/recall readout.
+        Reference analog: hyper_diarizer/overlap.py detects exactly these
+        regions; the easy `dialogue` stream has none, which is why
+        round-2 trained-vs-untrained DER could not separate."""
+        rng = np.random.default_rng(seed)
+        sr = self.audio.sample_rate
+        turns = []          # (start_sample, wav, spk)
+        cursor = 0
+        prev_spk = None
+        for _ in range(n_turns):
+            spk = int(rng.choice([s for s in speakers if s != prev_spk]))
+            prev_spk = spk
+            utt = self.utterance(spk, int(rng.integers(*turn_frames)), rng)
+            if turns and rng.random() < overlap_prob:
+                start = cursor - int(rng.uniform(*overlap_s) * sr)
+            else:
+                start = cursor + int(rng.uniform(*gap_s) * sr)
+            start = max(start, 0)
+            turns.append((start, utt.wav, spk))
+            cursor = start + len(utt.wav)
+        wav = np.zeros(cursor, np.float32)
+        segs, ivals = [], []
+        for start, w, spk in turns:
+            wav[start:start + len(w)] += w
+            s, e = start / sr, (start + len(w)) / sr
+            segs.append((s, e, f"spk{spk}"))
+            ivals.append((s, e))
+        overlap_regions = [(max(s0, s1), min(e0, e1))
+                           for (s0, e0), (s1, e1) in zip(ivals, ivals[1:])
+                           if min(e0, e1) > max(s0, s1)]
+        peak = np.abs(wav).max() + 1e-8
+        if peak > 1.0:
+            wav /= peak
+        if noise_db is not None:
+            snr = 10.0 ** (noise_db / 20.0)
+            wav = wav + rng.normal(size=len(wav)).astype(np.float32) \
+                * (np.std(wav) / snr)
+        return wav.astype(np.float32), segs, overlap_regions

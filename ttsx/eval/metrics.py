@@ -117,9 +117,19 @@ def diarization_error_rate(ref_segments: Sequence[Tuple[float, float, str]],
     ref_spk = sorted({s for _, _, s in ref_segments})
     hyp_spk = sorted({s for _, _, s in hyp_segments})
     ref_grid = np.full(n, -1)
+    # second reference layer: frames covered by a second simultaneous
+    # speaker (dialogue_hard overlapped turns). A single-label hypothesis
+    # is scored correct on such frames if it matches EITHER layer —
+    # overlap-aware scoring without requiring multi-label output.
+    ref_grid2 = np.full(n, -1)
     hyp_grid = np.full(n, -1)
     for s, e, spk in ref_segments:
-        ref_grid[int(s / step):int(e / step)] = ref_spk.index(spk)
+        lo, hi = int(s / step), int(e / step)
+        r = ref_spk.index(spk)
+        seg = ref_grid[lo:hi]
+        taken = (seg >= 0) & (seg != r)
+        ref_grid2[lo:hi][taken] = r
+        ref_grid[lo:hi][~taken] = r
     for s, e, spk in hyp_segments:
         hyp_grid[int(s / step):int(e / step)] = hyp_spk.index(spk)
     # greedy mapping hyp->ref by overlap
@@ -127,7 +137,8 @@ def diarization_error_rate(ref_segments: Sequence[Tuple[float, float, str]],
     counts = np.zeros((len(hyp_spk), len(ref_spk)))
     for h in range(len(hyp_spk)):
         for r in range(len(ref_spk)):
-            counts[h, r] = np.sum((hyp_grid == h) & (ref_grid == r))
+            counts[h, r] = np.sum((hyp_grid == h)
+                                  & ((ref_grid == r) | (ref_grid2 == r)))
     while counts.size and counts.max() > 0:
         h, r = np.unravel_index(np.argmax(counts), counts.shape)
         mapping[h] = r
@@ -146,7 +157,12 @@ def diarization_error_rate(ref_segments: Sequence[Tuple[float, float, str]],
             for b in (int(s / step), int(e / step)):
                 scored[max(b - half, 0):b + half] = False
     speech = (ref_grid >= 0) & scored
-    errors = np.sum(speech & (hyp_as_ref != ref_grid))
+    # a frame is correct if the hypothesis matches EITHER reference layer;
+    # ref_grid2 only counts where a second speaker actually exists (else
+    # hyp=-1 would spuriously "match" the empty layer and hide misses)
+    match = (hyp_as_ref == ref_grid) | ((ref_grid2 >= 0)
+                                        & (hyp_as_ref == ref_grid2))
+    errors = np.sum(speech & ~match)
     miss_or_fa = np.sum(~(ref_grid >= 0) & scored & (hyp_grid >= 0))
     total = max(np.sum(speech), 1)
     return float((errors + miss_or_fa) / total)

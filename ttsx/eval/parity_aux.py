@@ -161,9 +161,10 @@ EXPERIMENTS = {
     "acoustic": acoustic_parity,
     "refiner": refiner_parity,
     "vocoder": vocoder_gan_smoke,
-    "vocoder_quality": _lazy("vocoder_parity"),
+    "vocoder_quality": _lazy("vocoder_parity", "ttsx.eval.parity_vocoder"),
     "e2e": _lazy("e2e_parity"),
     "diarizer": diarizer_parity,
+    "diarizer_hard": _lazy("diarizer_hard", "ttsx.eval.parity_diar"),
 }
 
 
@@ -200,7 +201,7 @@ def main(argv=None):
     # "all" = the standard per-stage set; the heavyweight chained runs
     # (vocoder_quality trains a full GAN, e2e re-trains three stages)
     # stay opt-in by name
-    heavy = {"vocoder_quality", "e2e"}
+    heavy = {"vocoder_quality", "e2e", "diarizer_hard"}
     names = ([n for n in EXPERIMENTS if n not in heavy]
              if args.exp == "all" else [args.exp])
     out_path = Path(args.out)

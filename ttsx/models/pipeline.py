@@ -73,8 +73,13 @@ class TTSPipeline:
 
     def synthesize(self, params, text_emb, prosody, emotion_probs, speaker,
                    style_id, rng: Optional[jax.Array] = None,
-                   use_sde: bool = False) -> SynthesisOutput:
-        """Full forward. jit-compatible (use_sde static)."""
+                   use_sde: bool = False,
+                   scale: Optional[jnp.ndarray] = None) -> SynthesisOutput:
+        """Full forward. jit-compatible (use_sde static).
+
+        `scale` is the [B, 2*channels] absolute-scale conditioning for
+        scale_cond generators (train-corpus mean stats at text->wav
+        serving — see ttsx/serve.py)."""
         ac = self.acoustic.apply(params["acoustic"], text_emb, prosody,
                                  emotion_probs, speaker=speaker,
                                  deterministic=True)
@@ -88,6 +93,6 @@ class TTSPipeline:
             mel_ref = ref.mel_ref
         style = self.gst.apply(params["gst"], mel_ref)
         wav = self.generator.apply(params["generator"], mel_ref, prosody,
-                                   style, emotion_probs)
+                                   style, emotion_probs, scale=scale)
         return SynthesisOutput(wav=wav, mel0=ac.mel, mel_ref=mel_ref,
                                duration=ac.duration, pitch=ac.pitch)

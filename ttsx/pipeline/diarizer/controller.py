@@ -66,7 +66,8 @@ class DiarizerController:
                  min_dur: float = 1.5, max_dur: float = 6.0,
                  chunk_s: float = 60.0, long_audio_s: float = 3600.0,
                  certainty_floor: float = 0.7,
-                 cluster_method: str = "modularity"):
+                 cluster_method: str = "modularity",
+                 overlap_screen=None):
         self.au = au or AudioConfig()
         self.embedder = embedder or SliceEmbedder(self.au)
         self.memory = memory or ReIDMemory()
@@ -76,6 +77,9 @@ class DiarizerController:
         self.long_audio_s = long_audio_s
         self.certainty_floor = certainty_floor
         self.cluster_method = cluster_method
+        # learned overlap gate (overlap_net.OverlapScreen) or None for
+        # the flux+energy heuristic
+        self.overlap_screen = overlap_screen
 
     @classmethod
     def from_config(cls, cfg, au: Optional[AudioConfig] = None):
@@ -153,7 +157,8 @@ class DiarizerController:
                 times["reslice"] = time.perf_counter() - t
 
             t = time.perf_counter()
-            overlaps = detect_overlaps(wav, self.au, slices, labels, embs)
+            overlaps = detect_overlaps(wav, self.au, slices, labels, embs,
+                                       screen=self.overlap_screen)
             times["overlap"] = time.perf_counter() - t
 
             speakers = [mapping[int(l)] for l in labels]

@@ -2,9 +2,10 @@
 
 Re-designs hyper_diarizer/overlap.py:40-88: per-slice spectral-flux screen
 plus inter-slice gap-energy vs per-speaker median and low cross-similarity
--> overlap tuples (start, end, spk1, spk2, confidence). The tiny CNN
-OverlapClassifier (overlap.py:18-33) is replaced by a flux+energy score —
-same decision surface, no learned weights needed for the screen.
+-> overlap tuples (start, end, spk1, spk2, confidence). The reference's
+tiny CNN gate (overlap.py:18-33 — shipped with a RANDOM-init fallback) has
+a TRAINED jax counterpart in overlap_net.py; pass it as `screen=` to use
+it, or leave None for the weight-free flux+energy heuristic.
 """
 from __future__ import annotations
 
@@ -27,11 +28,38 @@ def spectral_flux(wav: np.ndarray, au: AudioConfig) -> np.ndarray:
 def detect_overlaps(wav: np.ndarray, au: AudioConfig,
                     slices: List[Tuple[float, float]],
                     labels: np.ndarray, embs: np.ndarray,
-                    flux_z: float = 1.5, sim_thresh: float = 0.5
+                    flux_z: float = 1.5, sim_thresh: float = 0.5,
+                    screen=None, screen_thresh: float = 0.5
                     ) -> List[Tuple[float, float, int, int, float]]:
-    """Returns [(start_s, end_s, label_a, label_b, confidence)...]."""
+    """Returns [(start_s, end_s, label_a, label_b, confidence)...].
+
+    `screen`: optional learned classifier (overlap_net.OverlapScreen,
+    wav window -> P(overlap)) replacing the reference's OverlapClassifier
+    CNN gate (hyper_diarizer/overlap.py:18-33). When given, each adjacent
+    different-speaker junction is decided by the screen's probability on
+    a window centered at the junction; the flux+energy heuristic below
+    is the no-weights fallback."""
     if len(slices) < 2:
         return []
+    sr_ = au.sample_rate
+    if screen is not None:
+        out = []
+        half = int(0.25 * sr_)
+        for i in range(len(slices) - 1):
+            a_end, b_start = slices[i][1], slices[i + 1][0]
+            la, lb = int(labels[i]), int(labels[i + 1])
+            if la == lb or b_start - a_end > 0.5:
+                continue
+            mid = int(0.5 * (a_end + b_start) * sr_)
+            win = wav[max(mid - half, 0):mid + half]
+            if not len(win):
+                continue
+            prob = float(screen(win))
+            if prob > screen_thresh:
+                out.append((round(min(a_end, b_start) - 0.05, 3),
+                            round(max(a_end, b_start) + 0.05, 3),
+                            la, lb, round(prob, 3)))
+        return out
     sr = au.sample_rate
     flux = spectral_flux(wav, au)
     hop_s = au.hop_length / sr

@@ -40,9 +40,24 @@ class SynthesisServer:
     def __init__(self, cfg: TTSXConfig, params, mesh=None,
                  max_batch: int = 8, frames: int = 512,
                  bf16: bool = True, chain: bool = True,
-                 loudness_peak: Optional[float] = None):
+                 loudness_peak: Optional[float] = None,
+                 scale_stats: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.pipe = TTSPipeline(cfg)
+        # scale_cond generators condition on per-utterance raw-mel
+        # [mean || std] stats. A text->wav server has no target utterance
+        # to take them from, and the zeros fallback is far out of
+        # distribution (training log-mel mean ~-3, std ~1.7) — require
+        # the train-corpus mean vector (slim-export meta `mel_scale_mean`
+        # carries it) instead of silently degrading output.
+        if cfg.vocoder.scale_cond:
+            if scale_stats is None:
+                raise ValueError(
+                    "cfg.vocoder.scale_cond is on: pass scale_stats "
+                    "([2*channels] train-corpus mean mel [mean||std], "
+                    "e.g. the slim export's `mel_scale_mean` meta)")
+            scale_stats = np.asarray(scale_stats, np.float32).reshape(-1)
+        self.scale_stats = scale_stats
         # bf16 halves activation HBM — at B=4 x 10 s the f32 generator
         # activations OOM a v5e chip; bf16 runs 200x realtime (round-1
         # measurement, see PARITY.md)
@@ -81,7 +96,13 @@ class SynthesisServer:
 
             def _gg(pg, pgen, m, pr, e):
                 style = self.pipe.gst.apply(pg, m)
-                return self.pipe.generator.apply(pgen, m, pr, style, e)
+                scale = None
+                if self.scale_stats is not None:
+                    scale = jnp.broadcast_to(
+                        jnp.asarray(self.scale_stats, m.dtype),
+                        (m.shape[0], self.scale_stats.shape[0]))
+                return self.pipe.generator.apply(pgen, m, pr, style, e,
+                                                 scale=scale)
 
             self._gg_fn = jax.jit(_gg)
         else:
@@ -91,8 +112,13 @@ class SynthesisServer:
             self.params = replicate(self.params, mesh)
 
     def _synth(self, params, text, pros, emo, spk, sid):
+        scale = None
+        if self.scale_stats is not None:
+            scale = jnp.broadcast_to(
+                jnp.asarray(self.scale_stats, text.dtype),
+                (text.shape[0], self.scale_stats.shape[0]))
         out = self.pipe.synthesize(params, text, pros, emo, spk, sid,
-                                   use_sde=False)
+                                   use_sde=False, scale=scale)
         return out.wav
 
     def _run(self, text, pros, emo, spk, sid):

@@ -44,7 +44,7 @@ def save_slim(path: str, trees: Dict[str, Any]) -> None:
 
 
 def load_slim(path: str, templates: Dict[str, Any],
-              allow_missing: bool = False) -> Dict[str, Any]:
+              allow_missing: Any = False) -> Dict[str, Any]:
     """Restore pytrees from a `save_slim` file.
 
     `templates` supplies the tree structure and target dtypes (a fresh
@@ -54,9 +54,21 @@ def load_slim(path: str, templates: Dict[str, Any],
     added after an export was written (e.g. the zero-init `scale_proj`
     of VocoderConfig.scale_cond: fresh zeros reproduce the exported
     model's forward exactly until trained).
+
+    `allow_missing` may be True (any leaf may fall back — every fallback
+    is reported on stderr) or an iterable of key substrings: a missing
+    leaf whose key contains none of them still raises, so a wrong file /
+    renamed module / truncated npz cannot silently load a partially
+    random model (ADVICE r2 medium #1).
     """
+    import sys
+
+    allowlist = None
+    if allow_missing and not isinstance(allow_missing, bool):
+        allowlist = tuple(allow_missing)
     with np.load(path) as data:
         stored = {k: data[k] for k in data.files}
+    missing: list = []
     out: Dict[str, Any] = {}
     for name, template in templates.items():
         flat, treedef = jax.tree_util.tree_flatten_with_path(template)
@@ -64,7 +76,9 @@ def load_slim(path: str, templates: Dict[str, Any],
         for kp, tleaf in flat:
             key = f"{name}|{jax.tree_util.keystr(kp)}"
             if key not in stored:
-                if allow_missing:
+                if allow_missing and (allowlist is None
+                                      or any(s in key for s in allowlist)):
+                    missing.append(key)
                     leaves.append(np.asarray(tleaf))
                     continue
                 raise KeyError(f"slim export {path!r} is missing {key!r}")
@@ -77,6 +91,9 @@ def load_slim(path: str, templates: Dict[str, Any],
         out[name] = jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(
                 jax.tree_util.tree_map(lambda x: 0, template)), leaves)
+    if missing:
+        print(f"load_slim: {len(missing)} leaves absent from {path!r} "
+              f"kept fresh-init values: {missing}", file=sys.stderr)
     return out
 
 
@@ -92,12 +109,19 @@ def save_vocoder_slim(path: str, states: Any,
     save_slim(path, trees)
 
 
+# params that may legitimately be absent from an older export: leaves
+# added to the model AFTER the export was written, all zero-init so the
+# warm-started forward is bit-identical until trained. Anything else
+# missing means the wrong file, and load_vocoder_slim must raise.
+_WARM_START_OK = ("scale_proj",)
+
+
 def load_vocoder_slim(path: str, states: Any) -> Any:
     """Return `states` with generator live+EMA params and GST params
     replaced by a slim export (shapes must match the fresh init)."""
     got = load_slim(path, {"gen_ema": states.gen.params,
                            "gst": states.gst.params},
-                    allow_missing=True)
+                    allow_missing=_WARM_START_OK)
     gen = states.gen.replace(params=got["gen_ema"])
     if states.gen.ema_params is not None:
         gen = gen.replace(ema_params=got["gen_ema"])
