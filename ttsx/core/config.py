@@ -231,6 +231,15 @@ class VocoderConfig:
     # zero-init conditioning projection. Off by default to preserve the
     # recorded round-2 quality curve's comparability.
     scale_cond: bool = False
+    # opt-in DIRECT output gain from the scale stats: a zero-init Dense
+    # ([B, 2*channels] -> per-utterance log-gain) multiplying the
+    # waveform post-tanh (exp(0)=1 at init -> warm-start compatible).
+    # Round-3 measurement: scale_cond alone moved rms_ratio_ema only
+    # 0.68->0.75 in 6k steps — the FiLM path routes scale through
+    # cond_norm (LayerNorm), which nulls constant components, so the
+    # absolute level has to ride conditioning DIRECTIONS. This head is
+    # the direct path: dL/d(gain) is the full-waveform energy gradient.
+    scale_gain: bool = False
     ema_decay: float = 0.999
     # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
     # off by default until trained-quality validation (round-2 agenda)

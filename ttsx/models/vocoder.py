@@ -216,13 +216,13 @@ class Generator(nn.Module):
         if emo_drop:
             c_emo = jnp.zeros_like(c_emo)
         cond = c_pros + c_sty + c_emo  # [B, T, cond_dim]
+        if (cfg.scale_cond or cfg.scale_gain) and scale is None:
+            scale = jnp.zeros((B, 2 * C), mel.dtype)
         if cfg.scale_cond:
             # absolute-scale cue (VocoderConfig.scale_cond): per-utterance
             # mel normalization stats [mean || std], [B, 2*channels].
             # Zero kernel init: a fresh scale_cond model reproduces the
             # scale-free forward exactly until trained.
-            if scale is None:
-                scale = jnp.zeros((B, 2 * C), mel.dtype)
             c_scale = nn.Dense(cfg.cond_dim, name="scale_proj",
                                kernel_init=nn.initializers.zeros)(scale)
             cond = cond + c_scale[:, None]
@@ -269,7 +269,17 @@ class Generator(nn.Module):
         ch = h.shape[-1]
         h = jnp.moveaxis(h, 0, 2).reshape(B, T * up, nb * ch)
         wav = Conv1d(1, 7, name="band_merge")(h)
-        return jnp.tanh(wav)
+        wav = jnp.tanh(wav)
+        if cfg.scale_gain:
+            # direct absolute-level path (VocoderConfig.scale_gain): the
+            # FiLM route above is LayerNorm-washed, so the output level
+            # gets its own zero-init log-gain head. Post-tanh: the
+            # under-loud regime sits in tanh's linear zone, and a
+            # pre-tanh gain would be fought by the saturation.
+            g = nn.Dense(1, name="gain_proj",
+                         kernel_init=nn.initializers.zeros)(scale)
+            wav = wav * jnp.exp(g)[:, None]
+        return wav
 
 
 # ---------------------------------------------------------------------------

@@ -229,7 +229,8 @@ class VocoderBlock:
         mel = batch["mel"]
         wav = batch["wav"]
         style = jnp.zeros((mel.shape[0], vc.style_dim), mel.dtype)
-        scale = batch.get("mel_scale") if vc.scale_cond else None
+        scale = (batch.get("mel_scale")
+                 if vc.scale_cond or vc.scale_gain else None)
         gp = jax.jit(lambda k: self.gen.init(
             k, mel, batch["prosody"], style, batch["emotion_probs"],
             scale=scale))(r[0])
@@ -269,8 +270,9 @@ class VocoderBlock:
             emotion = batch["emotion_probs"] * emo_mask
         else:
             emotion = batch["emotion_probs"]
+        vc = self.cfg.vocoder
         scale = (batch.get("mel_scale")
-                 if self.cfg.vocoder.scale_cond else None)
+                 if vc.scale_cond or vc.scale_gain else None)
         return self.gen.apply(gen_params, mel, batch["prosody"], style,
                               emotion, scale=scale)
 

@@ -113,7 +113,7 @@ def save_vocoder_slim(path: str, states: Any,
 # added to the model AFTER the export was written, all zero-init so the
 # warm-started forward is bit-identical until trained. Anything else
 # missing means the wrong file, and load_vocoder_slim must raise.
-_WARM_START_OK = ("scale_proj",)
+_WARM_START_OK = ("scale_proj", "gain_proj")
 
 
 def load_vocoder_slim(path: str, states: Any) -> Any:
