@@ -120,3 +120,25 @@ def test_dialogue_hard_overlaps_and_truth():
     # no immediate same-speaker repeats
     spks = [s[2] for s in segs]
     assert all(a != b for a, b in zip(spks, spks[1:]))
+
+
+def test_formant_rich_speaker_cues():
+    """'rich' adds stationary per-speaker voice-quality cues; 'vtl'
+    (default) stays bit-identical to the round-2 corpus."""
+    from ttsx.data.formantcorpus import FormantCorpus
+    from ttsx.eval.parity_common import make_corpus
+    base = FormantCorpus(n_speakers=4, seed=0)
+    vtl = make_corpus("formant", n_speakers=4, seed=0)
+    rich = make_corpus("formant_rich", n_speakers=4, seed=0)
+    rng = np.random.default_rng(3)
+    w_base = base.utterance(1, 32, np.random.default_rng(3)).wav
+    w_vtl = vtl.utterance(1, 32, np.random.default_rng(3)).wav
+    np.testing.assert_array_equal(w_base, w_vtl)
+    w_rich = rich.utterance(1, 32, np.random.default_rng(3)).wav
+    assert not np.array_equal(w_base, w_rich)
+    # cues are per-speaker distinct
+    assert len(set(np.round(rich.spk_tilt, 6))) == 4
+    assert len(set(np.round(rich.spk_breath_mul, 6))) == 4
+    import pytest
+    with pytest.raises(ValueError):
+        FormantCorpus(n_speakers=4, speaker_cues="nope")

@@ -515,18 +515,44 @@ def test_overlap_net_learns_and_screens():
 
 
 def test_detect_overlaps_screen_path():
-    """With a screen, junction acceptance is the screen's call."""
+    """With a screen, the sliding stream scan decides: a screen firing
+    only inside slice 1 yields hits labeled with that slice's speaker
+    (+ nearest other), an always-low screen yields nothing."""
     from ttsx.core.config import AudioConfig
     from ttsx.pipeline.diarizer.overlap import detect_overlaps
     au = AudioConfig()
+    sr = au.sample_rate
     wav = np.random.default_rng(0).normal(
-        size=au.sample_rate * 4).astype(np.float32) * 0.1
+        size=sr * 4).astype(np.float32) * 0.1
     slices = [(0.0, 1.0), (1.1, 2.0), (2.05, 3.0)]
     labels = np.asarray([0, 1, 0])
     embs = np.eye(3, 8, dtype=np.float32)
-    hits = detect_overlaps(wav, au, slices, labels, embs,
-                           screen=lambda w: 0.9)
-    assert len(hits) == 2 and all(h[4] == 0.9 for h in hits)
+    # screen keyed on window energy: mark 1.2-1.8 s (inside slice 1)
+    wav[int(1.2 * sr):int(1.8 * sr)] *= 10.0
+    screen = lambda w: 0.9 if float(np.std(w)) > 0.5 else 0.2
+    hits = detect_overlaps(wav, au, slices, labels, embs, screen=screen)
+    assert hits, "sliding screen missed the in-slice hot region"
+    for (s, e, la, lb, p) in hits:
+        # window-sized slop: a 0.4 s window centered 0.25 s before the
+        # hot zone still overlaps it
+        assert 0.9 < s < e < 2.3
+        assert {la, lb} == {0, 1}
+        assert p == 0.9
     none = detect_overlaps(wav, au, slices, labels, embs,
                            screen=lambda w: 0.1)
     assert none == []
+
+
+def test_split_slices_at_overlaps():
+    from ttsx.pipeline.diarizer.overlap import split_slices_at_overlaps
+    slices = [(0.0, 3.0), (3.5, 4.2)]
+    regions = [(1.4, 1.6, 0.9),   # inside slice 0 -> cut at 1.5
+               (2.95, 3.05, 0.8),  # midpoint 3.0 at the edge -> no cut
+               (3.6, 3.7, 0.7)]    # inside slice 1 but parts < min_len*2
+    out = split_slices_at_overlaps(slices, regions, min_len=0.4)
+    assert (0.0, 1.5) in out and (1.5, 3.0) in out
+    assert (3.5, 4.2) in out
+    assert len(out) == 3
+    # no regions -> unchanged
+    assert split_slices_at_overlaps(slices, []) == \
+        [(0.0, 3.0), (3.5, 4.2)]

@@ -189,20 +189,30 @@ def test_scale_gain_identity_at_init(batch):
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_off), atol=1e-6)
 
 
-def test_scale_gain_is_direct_and_multiplicative(batch):
-    """Setting gain_proj.bias = log(2) exactly doubles the waveform —
-    the head is a DIRECT output-level path, not LayerNorm-washed."""
+def test_scale_gain_is_direct_and_bounded(batch):
+    """Setting gain_proj.bias = b multiplies the waveform by exactly
+    exp(max*tanh(b/max)) — a DIRECT output-level path (not
+    LayerNorm-washed) whose authority is capped at exp(+-max)."""
     g = Generator(VOC_G)
     p = g.init(K, batch["mel"], batch["prosody"], batch["style"],
                batch["emotion_probs"], scale=batch["mel_scale"])
     w1 = g.apply(p, batch["mel"], batch["prosody"], batch["style"],
                  batch["emotion_probs"], scale=batch["mel_scale"])
     p2 = jax.tree_util.tree_map(lambda x: x, p)
-    p2["params"]["gain_proj"]["bias"] = jnp.full((1,), jnp.log(2.0))
+    b = 0.3
+    p2["params"]["gain_proj"]["bias"] = jnp.full((1,), b)
     w2 = g.apply(p2, batch["mel"], batch["prosody"], batch["style"],
                  batch["emotion_probs"], scale=batch["mel_scale"])
-    np.testing.assert_allclose(np.asarray(w2), 2.0 * np.asarray(w1),
+    gm = VOC_G.scale_gain_max
+    expect = float(np.exp(gm * np.tanh(b / gm)))
+    np.testing.assert_allclose(np.asarray(w2), expect * np.asarray(w1),
                                rtol=1e-5)
+    # runaway params cannot exceed the bound
+    p2["params"]["gain_proj"]["bias"] = jnp.full((1,), 50.0)
+    w3 = g.apply(p2, batch["mel"], batch["prosody"], batch["style"],
+                 batch["emotion_probs"], scale=batch["mel_scale"])
+    ratio = float(np.abs(w3).max() / np.abs(w1).max())
+    assert ratio <= float(np.exp(gm)) * 1.001
 
 
 def test_scale_gain_grad_at_exact_init(batch):

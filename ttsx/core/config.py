@@ -240,6 +240,9 @@ class VocoderConfig:
     # absolute level has to ride conditioning DIRECTIONS. This head is
     # the direct path: dL/d(gain) is the full-waveform energy gradient.
     scale_gain: bool = False
+    # bound on |log-gain| (tanh-squashed): caps the head's authority at
+    # exp(+-max) so GAN dynamics cannot run it away (measured round 3)
+    scale_gain_max: float = 0.7
     ema_decay: float = 0.999
     # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
     # off by default until trained-quality validation (round-2 agenda)

@@ -40,7 +40,7 @@ class FormantCorpus(ToneCorpus):
                  text_dim: int = 256, audio: Optional[AudioConfig] = None,
                  seed: int = 0, n_f0_groups: Optional[int] = None,
                  noise_db: Optional[float] = None,
-                 intonation: float = 0.0):
+                 intonation: float = 0.0, speaker_cues: str = "vtl"):
         super().__init__(n_speakers=n_speakers, n_phonemes=n_phonemes,
                          text_dim=text_dim, audio=audio, seed=seed,
                          n_f0_groups=n_f0_groups, noise_db=noise_db,
@@ -50,6 +50,23 @@ class FormantCorpus(ToneCorpus):
         # the primary learnable timbre cue (f0 may be group-shared)
         self.spk_vtl = rng.uniform(0.82, 1.25, n_speakers)
         self.spk_bw = rng.uniform(60.0, 110.0, n_speakers)   # Hz, base
+        # speaker_cues="rich": additional stationary per-speaker traits
+        # (the VERDICT r2 #8 contingency — VTL-only identity caps the
+        # learnable EER; real speakers also differ in voice quality).
+        # "vtl" keeps the round-2 corpus bit-identical.
+        if speaker_cues == "rich":
+            self.spk_breath_mul = rng.uniform(0.4, 2.2, n_speakers)
+            self.spk_tilt = rng.uniform(0.80, 1.25, n_speakers)
+            self.spk_vib_rate = rng.uniform(4.3, 6.7, n_speakers)
+            self.spk_vib_depth = rng.uniform(0.001, 0.006, n_speakers)
+        elif speaker_cues == "vtl":
+            self.spk_breath_mul = np.ones(n_speakers)
+            self.spk_tilt = np.ones(n_speakers)
+            self.spk_vib_rate = np.full(n_speakers, 5.5)
+            self.spk_vib_depth = np.full(n_speakers, 0.003)
+        else:
+            raise ValueError(f"speaker_cues must be 'vtl' or 'rich', "
+                             f"got {speaker_cues!r}")
         # per-phoneme formant targets (vowel-space ranges, F2 > F1)
         f1 = rng.uniform(260.0, 860.0, n_phonemes)
         f2 = np.maximum(rng.uniform(850.0, 2400.0, n_phonemes),
@@ -89,21 +106,24 @@ class FormantCorpus(ToneCorpus):
             contour = contour * (
                 1.0 + np.convolve(raw, np.ones(w) / w, mode="valid"))
         t = np.arange(n) / sr
-        vib = 1.0 + 0.003 * np.sin(2 * np.pi * 5.5 * t
-                                   + rng.uniform(0, 2 * np.pi))
+        vib = 1.0 + self.spk_vib_depth[speaker] * np.sin(
+            2 * np.pi * self.spk_vib_rate[speaker] * t
+            + rng.uniform(0, 2 * np.pi))
         f0_t = f0 * contour[frame_of] * vib             # [n]
         phi = 2 * np.pi * np.cumsum(f0_t) / sr
         n_harm = int(0.45 * sr / (f0_t.min() + 1e-6))
         h = np.arange(1, n_harm + 1)
         # sawtooth series (1/h == -6 dB/oct) x 1/sqrt(h) extra rolloff
-        # ~= glottal -9..-12 dB/oct; per-sample Nyquist guard for glides
-        amp_h = 1.0 / (h * np.sqrt(h))
+        # ~= glottal -9..-12 dB/oct; per-sample Nyquist guard for glides.
+        # spk_tilt: per-speaker spectral-tilt exponent ("rich" cue)
+        amp_h = 1.0 / (h * np.sqrt(h)) ** self.spk_tilt[speaker]
         alive = (h[None, :] * f0_t[:, None]) < (0.45 * sr)
         exc = (np.sin(phi[:, None] * h[None, :])
                * (amp_h[None, :] * alive)).sum(axis=1)
         # aspiration noise, per-phoneme breathiness, pre-filter so it
         # picks up the same formant structure
-        breath = self.pho_breath[ids[frame_of]]
+        breath = (self.pho_breath[ids[frame_of]]
+                  * self.spk_breath_mul[speaker])
         exc = exc + rng.normal(size=n) * breath * np.std(exc)
 
         # ---- filter: frame-OLA magnitude filtering by formant resonators

@@ -81,9 +81,16 @@ def vocoder_gan_smoke(steps: int = 500, frames: int = 64, batch: int = 4,
 # ---------------------------------------------------------------------------
 def _train_slice_encoder(corpus: ToneCorpus, frames: int = 128,
                          utts: int = 12, steps: int = 400,
-                         batch: int = 16, seed: int = 0):
+                         batch: int = 16, seed: int = 0,
+                         noise_db: Optional[float] = None):
     """Train a diarizer-sized ReferenceEncoder on the corpus speakers;
-    returns (cfg, model-params) for SliceEmbedder."""
+    returns (cfg, model-params) for SliceEmbedder.
+
+    `noise_db`: when the target stream is noisy (dialogue_hard), train
+    on matching additive noise at per-sample random SNR in
+    [noise_db-4, noise_db+8] dB — an encoder trained clean is OOD at
+    12 dB SNR and collapses every noisy slice to one cluster (measured:
+    hard-stream trained DER 0.95 w/ 1 hyp speaker vs 0.80 untrained)."""
     import jax
     import jax.numpy as jnp
     from ttsx.core.config import RefEncConfig
@@ -92,7 +99,18 @@ def _train_slice_encoder(corpus: ToneCorpus, frames: int = 128,
     cfg = RefEncConfig(audio=AUDIO, speaker_dim=192, ecapa_channels=256,
                        num_speakers=corpus.n_speakers, warmup_steps=50,
                        total_steps=steps, eval_every=0)
-    feats = corpus.features(corpus.utterances(utts, frames, seed=seed))
+    us = corpus.utterances(utts, frames, seed=seed)
+    if noise_db is not None:
+        from dataclasses import replace as _dc_replace
+        rng_n = np.random.default_rng(seed + 17)
+        noisy = []
+        for u in us:
+            snr = 10.0 ** (rng_n.uniform(noise_db - 4, noise_db + 8) / 20.0)
+            w = u.wav + rng_n.normal(size=len(u.wav)).astype(np.float32) \
+                * (np.std(u.wav) / snr)
+            noisy.append(_dc_replace(u, wav=w.astype(np.float32)))
+        us = noisy
+    feats = corpus.features(us)
     trainer = RefEncTrainer(cfg)
     rng = np.random.default_rng(seed)
     state = trainer.init_state(jax.random.PRNGKey(seed),

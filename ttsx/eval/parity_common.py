@@ -20,15 +20,19 @@ def make_corpus(kind: str = "tone", **kw):
 
     "tone" = narrowband additive harmonics (fast learnability checks);
     "formant" = wideband source-filter speech-shaped audio
-    (ttsx/data/formantcorpus.py). CLI: --arg corpus='"formant"'."""
+    (ttsx/data/formantcorpus.py); "formant_rich" = same plus per-speaker
+    voice-quality cues (breathiness, spectral tilt, vibrato) for the
+    speaker-EER contingency. CLI: --arg corpus='"formant"'."""
     from ttsx.data.tonecorpus import ToneCorpus
     if kind == "tone":
         return ToneCorpus(**kw)
-    if kind == "formant":
+    if kind in ("formant", "formant_rich"):
         from ttsx.data.formantcorpus import FormantCorpus
+        if kind == "formant_rich":
+            kw["speaker_cues"] = "rich"
         return FormantCorpus(**kw)
-    raise ValueError(f"unknown corpus kind {kind!r} "
-                     "(expected 'tone' or 'formant')")
+    raise ValueError(f"unknown corpus kind {kind!r} (expected 'tone', "
+                     "'formant' or 'formant_rich')")
 
 
 def mel_energy_gain(wav: np.ndarray, mel_req: np.ndarray,

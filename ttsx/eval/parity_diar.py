@@ -81,7 +81,7 @@ def diarizer_hard(n_speakers: int = 6, n_turns: int = 48,
     # steps — the stream is harder)
     from ttsx.eval.parity_aux import _train_slice_encoder
     cfg, params = _train_slice_encoder(corpus, steps=train_steps,
-                                       seed=seed)
+                                       seed=seed, noise_db=noise_db)
     emb = SliceEmbedder(AUDIO, cfg=cfg, params=params)
     res_t, der_t = run(emb, None, "trained")
 

@@ -276,9 +276,17 @@ class Generator(nn.Module):
             # gets its own zero-init log-gain head. Post-tanh: the
             # under-loud regime sits in tanh's linear zone, and a
             # pre-tanh gain would be fought by the saturation.
+            # The log-gain is BOUNDED to |g| <= scale_gain_max: unbounded
+            # exp() measured as a GAN destabilizer (round 3: adv loss
+            # 0.24 -> 1.22, wav MCD 56.7 -> 146 dB — a global scalar is
+            # the discriminator's easiest tell and the 2*channels kernel
+            # params drift at Adam step size). tanh(0)=0 keeps the init
+            # identity; the needed correction is ~1.33x = log 0.285,
+            # well inside the +-0.7 (~2x) bound.
             g = nn.Dense(1, name="gain_proj",
                          kernel_init=nn.initializers.zeros)(scale)
-            wav = wav * jnp.exp(g)[:, None]
+            gm = cfg.scale_gain_max
+            wav = wav * jnp.exp(gm * jnp.tanh(g / gm))[:, None]
         return wav
 
 

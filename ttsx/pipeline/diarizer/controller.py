@@ -206,6 +206,19 @@ class DiarizerController:
         slices, stats = dynamic_slice(wav, self.au, self.min_dur,
                                       self.max_dur)
         times["slice"] = time.perf_counter() - t
+        if self.overlap_screen is not None and slices:
+            # learned resegmentation: overlapped turn onsets merge two
+            # speakers into one VAD slice; split at screened overlap
+            # regions BEFORE embedding so cluster inputs are
+            # single-speaker-dominant (overlap.split_slices_at_overlaps)
+            from ttsx.pipeline.diarizer.overlap import (
+                screen_stream, split_slices_at_overlaps)
+            t = time.perf_counter()
+            regions = screen_stream(wav, self.au, self.overlap_screen,
+                                    slices)
+            slices = split_slices_at_overlaps(slices, regions)
+            stats = dict(stats, overlap_splits=len(regions))
+            times["overlap_reseg"] = time.perf_counter() - t
         t = time.perf_counter()
         embs = self.embedder.extract(wav, slices)
         times["embed"] = time.perf_counter() - t

@@ -25,6 +25,68 @@ def spectral_flux(wav: np.ndarray, au: AudioConfig) -> np.ndarray:
     return np.sqrt((np.maximum(d, 0) ** 2).sum(axis=1))
 
 
+def screen_stream(wav: np.ndarray, au: AudioConfig, screen,
+                  regions: List[Tuple[float, float]],
+                  stride_s: float = 0.25, win_s: float = 0.4,
+                  thresh: float = 0.5) -> List[Tuple[float, float, float]]:
+    """Slide the learned screen over `regions` (speech spans, e.g. the
+    union of slices) and merge consecutive positive windows into
+    [(start_s, end_s, mean_prob)]. Overlapped turn ONSETS usually live
+    INSIDE a VAD slice (no gap -> turns merge into one slice), so a
+    junction-only screen structurally misses them — measured round 3:
+    0/15 true overlap regions found by the junction path on the hard
+    stream while the same net scores 98% window accuracy."""
+    sr = au.sample_rate
+    half = int(0.5 * win_s * sr)
+    hits: List[Tuple[float, float]] = []
+    probs: List[float] = []
+    for (s, e) in regions:
+        t = s
+        while t < e:
+            mid = int(t * sr)
+            win = wav[max(mid - half, 0):mid + half]
+            if len(win) >= half:
+                p = float(screen(win))
+                if p > thresh:
+                    hits.append((t - 0.5 * win_s, t + 0.5 * win_s))
+                    probs.append(p)
+            t += stride_s
+    # merge touching windows
+    out: List[Tuple[float, float, float]] = []
+    for (s, e), p in zip(hits, probs):
+        if out and s <= out[-1][1] + 1e-6:
+            ps, pe, pp = out[-1]
+            out[-1] = (ps, max(pe, e), max(pp, p))
+        else:
+            out.append((s, e, p))
+    return [(round(s, 3), round(e, 3), round(p, 3)) for s, e, p in out]
+
+
+def split_slices_at_overlaps(slices: List[Tuple[float, float]],
+                             regions: List[Tuple[float, float, float]],
+                             min_len: float = 0.4
+                             ) -> List[Tuple[float, float]]:
+    """Resegment: cut every slice at the midpoint of each detected
+    overlap region strictly inside it. Overlapped turn onsets merge two
+    speakers into ONE VAD slice (no silence at the junction), which
+    poisons the slice embedding and caps cluster purity no matter how
+    good the encoder is (measured: 27 slices for 48 turns on the hard
+    stream). Splitting at the overlap midpoint yields two
+    single-speaker-dominant slices; parts shorter than `min_len` s are
+    not created."""
+    out: List[Tuple[float, float]] = []
+    for s, e in slices:
+        cuts = sorted(0.5 * (rs + re) for rs, re, *_ in regions
+                      if s + min_len < 0.5 * (rs + re) < e - min_len)
+        lo = s
+        for c in cuts:
+            if c - lo >= min_len:
+                out.append((round(lo, 3), round(c, 3)))
+                lo = c
+        out.append((round(lo, 3), round(e, 3)))
+    return out
+
+
 def detect_overlaps(wav: np.ndarray, au: AudioConfig,
                     slices: List[Tuple[float, float]],
                     labels: np.ndarray, embs: np.ndarray,
@@ -35,30 +97,26 @@ def detect_overlaps(wav: np.ndarray, au: AudioConfig,
 
     `screen`: optional learned classifier (overlap_net.OverlapScreen,
     wav window -> P(overlap)) replacing the reference's OverlapClassifier
-    CNN gate (hyper_diarizer/overlap.py:18-33). When given, each adjacent
-    different-speaker junction is decided by the screen's probability on
-    a window centered at the junction; the flux+energy heuristic below
-    is the no-weights fallback."""
+    CNN gate (hyper_diarizer/overlap.py:18-33). When given, the screen
+    slides over every slice's interior plus the junctions (screen_stream)
+    and each hit is labeled with the covering/nearest slices' speakers;
+    the flux+energy heuristic below is the no-weights fallback."""
     if len(slices) < 2:
         return []
-    sr_ = au.sample_rate
     if screen is not None:
+        regions = [(max(s - 0.2, 0.0), e + 0.2) for s, e in slices]
+        hits = screen_stream(wav, au, screen, regions,
+                             thresh=screen_thresh)
         out = []
-        half = int(0.25 * sr_)
-        for i in range(len(slices) - 1):
-            a_end, b_start = slices[i][1], slices[i + 1][0]
-            la, lb = int(labels[i]), int(labels[i + 1])
-            if la == lb or b_start - a_end > 0.5:
-                continue
-            mid = int(0.5 * (a_end + b_start) * sr_)
-            win = wav[max(mid - half, 0):mid + half]
-            if not len(win):
-                continue
-            prob = float(screen(win))
-            if prob > screen_thresh:
-                out.append((round(min(a_end, b_start) - 0.05, 3),
-                            round(max(a_end, b_start) + 0.05, 3),
-                            la, lb, round(prob, 3)))
+        for s, e, p in hits:
+            mid = 0.5 * (s + e)
+            # nearest two distinct slice labels around the hit
+            order = np.argsort([abs(0.5 * (a + b) - mid)
+                                for a, b in slices])
+            la = int(labels[order[0]])
+            lb = next((int(labels[j]) for j in order[1:]
+                       if int(labels[j]) != la), la)
+            out.append((s, e, la, lb, p))
         return out
     sr = au.sample_rate
     flux = spectral_flux(wav, au)
