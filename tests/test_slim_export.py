@@ -91,3 +91,18 @@ def test_zoo_loads_pipeline(tmp_path):
                            jnp.zeros((B,), jnp.int32))
     np.testing.assert_allclose(np.asarray(out.wav), np.asarray(want.wav),
                                atol=2e-2)
+
+
+def test_load_slim_meta_roundtrip(tmp_path):
+    from ttsx.train.slim_export import load_slim_meta, save_slim
+    path = str(tmp_path / "m.npz")
+    save_slim(path, {"_meta": {"steps": np.asarray(42),
+                               "mel_scale_mean": np.arange(4.0)},
+                     "t": {"w": np.zeros(3, np.float32)}})
+    meta = load_slim_meta(path)
+    assert set(meta) == {"steps", "mel_scale_mean"}
+    assert int(meta["steps"]) == 42
+    np.testing.assert_array_equal(meta["mel_scale_mean"], np.arange(4.0))
+    # an export without meta -> empty dict
+    save_slim(str(tmp_path / "n.npz"), {"t": {"w": np.zeros(2)}})
+    assert load_slim_meta(str(tmp_path / "n.npz")) == {}

@@ -116,6 +116,16 @@ def save_vocoder_slim(path: str, states: Any,
 _WARM_START_OK = ("scale_proj", "gain_proj")
 
 
+def load_slim_meta(path: str) -> Dict[str, np.ndarray]:
+    """Read the `_meta` entries of a slim export (e.g. `mel_scale_mean`,
+    the train-corpus scale vector a scale_cond/scale_gain
+    SynthesisServer needs as `scale_stats`). Empty dict if none."""
+    prefix = "_meta|"
+    with np.load(path) as data:
+        return {k[len(prefix):].strip("[']"): data[k]
+                for k in data.files if k.startswith(prefix)}
+
+
 def load_vocoder_slim(path: str, states: Any) -> Any:
     """Return `states` with generator live+EMA params and GST params
     replaced by a slim export (shapes must match the fresh init)."""
