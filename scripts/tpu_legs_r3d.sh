@@ -34,6 +34,13 @@ run_leg e2e_scale_gain_v2 3300 python -m ttsx.eval.parity_aux --exp e2e \
   --arg vocoder_overrides='{"lambda_energy": 1.0, "scale_cond": true, "scale_gain": true}' \
   --key e2e_scale_gain_v2
 
+# two-factor EER probe: SpecAugment (anti-memorization — the 12.8k
+# unaugmented leg REGRESSED to 16.7% at loss 1.5e-6) x richer speaker
+# cues (formant_rich). specaugment defaults True now.
+run_leg refenc_formant_aug 1500 python -m ttsx.eval.parity_aux \
+  --exp refenc --steps 3200 --arg corpus='"formant"' \
+  --arg utts_train=32 --key refenc_formant_aug3200
+
 run_leg refenc_formant_rich 1500 python -m ttsx.eval.parity_aux \
   --exp refenc --steps 3200 --arg corpus='"formant_rich"' \
   --arg utts_train=32 --key refenc_formant_rich_3200
