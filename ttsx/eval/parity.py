@@ -51,12 +51,11 @@ def _specaugment(m: np.ndarray, rng: np.random.Generator,
     """Per-sample freq + time masking (reference RefEncDataset trains
     with SpecAugment freq 15 / time 35, dataset.py:52-56). Fresh masks
     every step are the anti-memorization lever: the corpus utterances
-    are fixed arrays, so without augmentation ArcFace drives the loss
-    to ~1e-6 and the held-out EER REGRESSES with training (measured:
-    formant 10.0% @3.2k -> 16.7% @12.8k steps, final_loss 1.5e-6)."""
+    are fixed arrays, so without augmentation ArcFace memorizes them and
+    held-out EER REGRESSES (formant 10.0% @3.2k -> 16.7% @12.8k)."""
     m = m.copy()
     B, T, M = m.shape
-    fill = m.mean(axis=(1, 2), keepdims=False)
+    fill = m.mean(axis=(1, 2))
     for i in range(B):
         fw = int(rng.integers(0, f_max + 1))
         f0 = int(rng.integers(0, max(M - fw, 1)))
