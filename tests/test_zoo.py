@@ -1,0 +1,93 @@
+"""Zoo round-trip: slim exports -> load_pipeline/serve_from_zoo.
+
+The zoo is the rebuild's pretrained-weights story (the reference ships
+none — SURVEY §5.4): a fresh clone must be able to build a serving
+stack, including the scale-conditioned vocoder's serving-time stats,
+from the git-tracked npz exports alone.
+"""
+import dataclasses
+import json
+
+import numpy as np
+import jax
+import pytest
+
+from ttsx.core.config import (
+    TTSXConfig, AcousticConfig, RefinerConfig, VocoderConfig, S4Config)
+from ttsx.models.pipeline import TTSPipeline
+from ttsx.zoo import load_pipeline, serve_from_zoo, zoo_info
+
+
+def tiny_cfg(**voc):
+    s4 = S4Config(heads=2, norm_groups=2, causal=True, dropout=0.0)
+    return TTSXConfig(
+        acoustic=AcousticConfig(text_emb_dim=16, hidden_channels=16,
+                                conformer_layers=1, transformer_dim=32,
+                                num_layers=1, attention_heads=2,
+                                speaker_dim=8),
+        refiner=RefinerConfig(levels=1, cond_dim=16, hidden_channels=16,
+                              hsf_hidden=8, style_dim=8, beta_hidden=8,
+                              s4=s4, sde_steps=2),
+        vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
+                              disc_ch_growth=2, **voc))
+
+
+def _write_zoo(zd, cfg, params, meta=None, overrides=None):
+    from ttsx.train.slim_export import save_slim
+    zd.mkdir(parents=True, exist_ok=True)
+    save_slim(str(zd / "acoustic.npz"), {"acoustic": params["acoustic"]})
+    save_slim(str(zd / "refiner.npz"), {"refiner": params["refiner"]})
+    voc = {"gen_ema": params["generator"], "gst": params["gst"]}
+    if meta:
+        voc["_meta"] = {k: np.asarray(v) for k, v in meta.items()}
+    save_slim(str(zd / "vocoder.npz"), voc)
+    (zd / "zoo.json").write_text(json.dumps(
+        {"vocoder_overrides": overrides or {}}))
+
+
+def test_serve_from_zoo_wires_scale_stats(tmp_path):
+    cfg = tiny_cfg(scale_cond=True, scale_gain=True)
+    pipe = TTSPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0), batch=1, frames=8)
+    stats = np.linspace(-3.0, 1.7, 2 * cfg.vocoder.channels
+                        ).astype(np.float32)
+    zd = tmp_path / "zoo"
+    _write_zoo(zd, cfg, params, meta={"mel_scale_mean": stats},
+               overrides={"scale_cond": True, "scale_gain": True})
+
+    srv = serve_from_zoo(zoo_dir=str(zd), cfg=cfg, max_batch=1, frames=8,
+                         bf16=False)
+    # the vocoder export's meta reaches the server untouched
+    np.testing.assert_allclose(srv.scale_stats, stats)
+
+    from ttsx.serve import SynthesisRequest
+    rng = np.random.default_rng(0)
+    wavs = srv.serve_batch([SynthesisRequest(
+        text_emb=rng.normal(size=(6, 16)).astype(np.float32),
+        prosody=rng.normal(size=(6, 18)).astype(np.float32),
+        emotion_probs=np.full(6, 1 / 6, np.float32),
+        speaker=rng.normal(size=8).astype(np.float32),
+        style_id=0)])
+    assert np.isfinite(wavs[0]).all()
+
+
+def test_serve_from_zoo_requires_stats_for_scale_models(tmp_path):
+    cfg = tiny_cfg(scale_cond=True)
+    pipe = TTSPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0), batch=1, frames=8)
+    zd = tmp_path / "zoo"
+    _write_zoo(zd, cfg, params)  # no mel_scale_mean meta
+    with pytest.raises(ValueError, match="scale_stats"):
+        serve_from_zoo(zoo_dir=str(zd), cfg=cfg, max_batch=1, frames=8,
+                       bf16=False)
+
+
+def test_load_pipeline_reports_missing_and_reads_overrides(tmp_path):
+    cfg = tiny_cfg()
+    zd = tmp_path / "empty_zoo"
+    zd.mkdir()
+    (zd / "zoo.json").write_text(json.dumps(
+        {"vocoder_overrides": {"scale_cond": True, "not_a_field": 1}}))
+    pipe, params = load_pipeline(cfg=cfg, zoo_dir=str(zd))
+    assert set(params["_missing"]) == {"acoustic", "refiner", "vocoder"}
+    assert zoo_info(str(zd))["vocoder_overrides"]["scale_cond"] is True

@@ -124,13 +124,18 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
         save_slim(str(zd / "acoustic.npz"),
                   {"acoustic": a_state.params})
         save_slim(str(zd / "refiner.npz"), {"refiner": r_state.params})
-        save_vocoder_slim(str(zd / "vocoder.npz"), v_states,
-                          meta={"steps": vocoder_steps})
+        vmeta = {"steps": vocoder_steps}
+        if "mel_scale" in tr:
+            # serving-time default scale vector for scale_cond/scale_gain
+            # generators (see serve.SynthesisServer(scale_stats=...))
+            vmeta["mel_scale_mean"] = tr["mel_scale"].mean(axis=0)
+        save_vocoder_slim(str(zd / "vocoder.npz"), v_states, meta=vmeta)
         (zd / "zoo.json").write_text(__import__("json").dumps(
             {"steps": {"acoustic": acoustic_steps,
                        "refiner": refiner_steps,
                        "vocoder": vocoder_steps},
              "config": "ttsx.eval.parity._tts_cfg()",
+             "vocoder_overrides": vocoder_overrides or {},
              "corpus": f"{type(corpus).__name__}"
                        f"(n_speakers={corpus.n_speakers})",
              "seed": seed}, indent=1))

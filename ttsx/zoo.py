@@ -43,10 +43,21 @@ def load_pipeline(cfg=None, zoo_dir: Optional[str] = None,
     from ttsx.models.pipeline import TTSPipeline
     from ttsx.train.slim_export import load_slim
 
+    zd = Path(zoo_dir) if zoo_dir else DEFAULT_ZOO
     if cfg is None:
+        import dataclasses
+
         from ttsx.eval.parity import _tts_cfg
         cfg = _tts_cfg()
-    zd = Path(zoo_dir) if zoo_dir else DEFAULT_ZOO
+        # zoo.json records the vocoder config deltas the export was
+        # trained with (e.g. scale_cond/scale_gain) — the param tree must
+        # be built with them or load_slim's shapes won't line up
+        ov = zoo_info(zoo_dir).get("vocoder_overrides") or {}
+        known = {f.name for f in dataclasses.fields(cfg.vocoder)}
+        ov = {k: v for k, v in ov.items() if k in known}
+        if ov:
+            cfg = dataclasses.replace(
+                cfg, vocoder=dataclasses.replace(cfg.vocoder, **ov))
     pipe = TTSPipeline(cfg)
     params = pipe.init_params(rng if rng is not None
                               else jax.random.PRNGKey(0), frames=frames)
@@ -72,3 +83,25 @@ def load_pipeline(cfg=None, zoo_dir: Optional[str] = None,
         missing.append("vocoder")
     params["_missing"] = missing
     return pipe, params
+
+
+def serve_from_zoo(zoo_dir: Optional[str] = None, cfg=None, **server_kw):
+    """Build a ready `SynthesisServer` from the checked-in zoo.
+
+    Wires the two pieces a scale-conditioned vocoder needs at serving
+    time: the config deltas from zoo.json (via `load_pipeline`) and the
+    train-corpus `mel_scale_mean` stats from the vocoder export's meta
+    (a text->wav caller has no target utterance to take stats from).
+    """
+    from ttsx.serve import SynthesisServer
+    from ttsx.train.slim_export import load_slim_meta
+
+    pipe, params = load_pipeline(cfg=cfg, zoo_dir=zoo_dir)
+    params = {k: v for k, v in params.items() if k != "_missing"}
+    zd = Path(zoo_dir) if zoo_dir else DEFAULT_ZOO
+    vc = zd / "vocoder.npz"
+    if "scale_stats" not in server_kw and vc.exists():
+        meta = load_slim_meta(str(vc))
+        if "mel_scale_mean" in meta:
+            server_kw["scale_stats"] = meta["mel_scale_mean"]
+    return SynthesisServer(pipe.cfg, params, **server_kw)
