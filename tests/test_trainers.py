@@ -115,3 +115,44 @@ def test_prosody_parity_smoke_trained_beats_random():
     assert r["val_loss"] <= r["val_loss_final"] + 1e-9
     assert r["eval_curve"] and r["eval_curve"][-1]["step"] == r["steps"]
     assert 1 <= r["best_val_step"] <= r["steps"]
+
+
+def test_refenc_margin_warmup_schedule():
+    """Margin ramps 0 -> arcface_margin over arcface_margin_warmup steps
+    (reference loss.py:5-35 optional margin schedule)."""
+    cfg = RefEncConfig(speaker_dim=32, ecapa_channels=32, num_speakers=4,
+                       loss="arcface", arcface_margin=0.3,
+                       arcface_margin_warmup=10)
+    tr = RefEncTrainer(cfg)
+    assert float(tr._margin(jnp.asarray(0))) == 0.0
+    assert abs(float(tr._margin(jnp.asarray(5))) - 0.15) < 1e-6
+    assert abs(float(tr._margin(jnp.asarray(100))) - 0.3) < 1e-6
+    # at margin 0 the loss is plain softmax-CE: still finite and trains
+    mel, labels = next(_speaker_batches(1))
+    state = tr.init_state(jax.random.PRNGKey(0), jnp.asarray(mel))
+    state, m = tr.train_step(state, jnp.asarray(mel), jnp.asarray(labels))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_refenc_mixup_step():
+    """Beta-mixup step (reference dataset.py:71-80): alpha=1 reduces to
+    the plain step's loss; mixed alpha is finite and trains."""
+    cfg = RefEncConfig(speaker_dim=32, ecapa_channels=32, num_speakers=4,
+                       loss="arcface", lr=1e-3, warmup_steps=2,
+                       total_steps=50)
+    tr = RefEncTrainer(cfg)
+    mel, labels = next(_speaker_batches(1))
+    mel2 = mel[::-1].copy()
+    labels2 = labels[::-1].copy()
+    state = tr.init_state(jax.random.PRNGKey(0), jnp.asarray(mel))
+    _, m_plain = tr.train_step(state, jnp.asarray(mel), jnp.asarray(labels))
+    ones = jnp.ones((mel.shape[0],), jnp.float32)
+    _, m_a1 = tr.train_step_mixup(state, jnp.asarray(mel), jnp.asarray(mel2),
+                                  jnp.asarray(labels), jnp.asarray(labels2),
+                                  ones)
+    assert abs(float(m_a1["loss"]) - float(m_plain["loss"])) < 1e-4
+    alpha = jnp.full((mel.shape[0],), 0.6, jnp.float32)
+    state, m = tr.train_step_mixup(state, jnp.asarray(mel), jnp.asarray(mel2),
+                                   jnp.asarray(labels), jnp.asarray(labels2),
+                                   alpha)
+    assert np.isfinite(float(m["loss"]))

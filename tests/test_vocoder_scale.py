@@ -165,103 +165,6 @@ def test_vocoder_block_train_steps_with_scale(batch):
     assert float(jnp.abs(k1 - k0).max()) > 0.0
 
 
-VOC_G = VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
-                      disc_ch_growth=2, upsample_factors=(4, 2),
-                      scale_cond=True, scale_gain=True)
-
-
-def test_scale_gain_identity_at_init(batch):
-    """Zero-init gain_proj => exp(0)=1: the scale_gain forward is
-    bit-identical to the gain-free one at init (warm-start safe)."""
-    g = Generator(VOC_G)
-    p = g.init(K, batch["mel"], batch["prosody"], batch["style"],
-               batch["emotion_probs"], scale=batch["mel_scale"])
-    w = g.apply(p, batch["mel"], batch["prosody"], batch["style"],
-                batch["emotion_probs"], scale=batch["mel_scale"])
-    # strip gain_proj + scale_proj -> plain scale-free generator
-    p_off = {"params": {k: v for k, v in p["params"].items()
-                        if k not in ("gain_proj", "scale_proj")}}
-    import dataclasses
-    g_off = Generator(dataclasses.replace(VOC_G, scale_cond=False,
-                                          scale_gain=False))
-    w_off = g_off.apply(p_off, batch["mel"], batch["prosody"],
-                        batch["style"], batch["emotion_probs"])
-    np.testing.assert_allclose(np.asarray(w), np.asarray(w_off), atol=1e-6)
-
-
-def test_scale_gain_is_direct_and_bounded(batch):
-    """Setting gain_proj.bias = b multiplies the waveform by exactly
-    exp(max*tanh(b/max)) — a DIRECT output-level path (not
-    LayerNorm-washed) whose authority is capped at exp(+-max)."""
-    g = Generator(VOC_G)
-    p = g.init(K, batch["mel"], batch["prosody"], batch["style"],
-               batch["emotion_probs"], scale=batch["mel_scale"])
-    w1 = g.apply(p, batch["mel"], batch["prosody"], batch["style"],
-                 batch["emotion_probs"], scale=batch["mel_scale"])
-    p2 = jax.tree_util.tree_map(lambda x: x, p)
-    b = 0.3
-    p2["params"]["gain_proj"]["bias"] = jnp.full((1,), b)
-    w2 = g.apply(p2, batch["mel"], batch["prosody"], batch["style"],
-                 batch["emotion_probs"], scale=batch["mel_scale"])
-    gm = VOC_G.scale_gain_max
-    expect = float(np.exp(gm * np.tanh(b / gm)))
-    np.testing.assert_allclose(np.asarray(w2), expect * np.asarray(w1),
-                               rtol=1e-5)
-    # runaway params cannot exceed the bound
-    p2["params"]["gain_proj"]["bias"] = jnp.full((1,), 50.0)
-    w3 = g.apply(p2, batch["mel"], batch["prosody"], batch["style"],
-                 batch["emotion_probs"], scale=batch["mel_scale"])
-    ratio = float(np.abs(w3).max() / np.abs(w1).max())
-    assert ratio <= float(np.exp(gm)) * 1.001
-
-
-def test_scale_gain_grad_at_exact_init(batch):
-    """Unlike the FiLM path (zero grad at exact init, needs 2 steps),
-    d(mean |wav|)/d(gain_proj.bias) is NONZERO at step 0 — the loudness
-    gradient reaches the head immediately."""
-    g = Generator(VOC_G)
-    p = g.init(K, batch["mel"], batch["prosody"], batch["style"],
-               batch["emotion_probs"], scale=batch["mel_scale"])
-
-    def amp(params):
-        w = g.apply(params, batch["mel"], batch["prosody"],
-                    batch["style"], batch["emotion_probs"],
-                    scale=batch["mel_scale"])
-        return jnp.mean(jnp.abs(w))
-
-    grads = jax.grad(amp)(p)
-    assert float(jnp.abs(grads["params"]["gain_proj"]["bias"]).max()) > 0.0
-    assert float(jnp.abs(grads["params"]["gain_proj"]["kernel"]).max()) > 0.0
-
-
-def test_slim_warm_start_into_scale_gain(tmp_path, batch):
-    """A scale_cond-era slim export (no gain_proj) warm-starts a
-    scale_gain init: gain_proj keeps zeros and the forward matches."""
-    import dataclasses
-
-    from ttsx.train.blocks import VocoderBlock
-    from ttsx.train.slim_export import load_vocoder_slim, save_vocoder_slim
-
-    hop = int(np.prod(VOC.upsample_factors))
-    mb = {"mel": batch["mel"], "prosody": batch["prosody"],
-          "emotion_probs": batch["emotion_probs"],
-          "mel_scale": batch["mel_scale"],
-          "wav": jax.random.normal(K, (B, T * hop, 1)) * 0.1}
-    tr = TrainConfig(warmup_steps=2, max_steps=10, lr=1e-4)
-    old = VocoderBlock(TTSXConfig(vocoder=VOC, train=tr))
-    old_states = old.init_state(jax.random.PRNGKey(1), mb)
-    path = str(tmp_path / "voc_sc_slim.npz")
-    save_vocoder_slim(path, old_states)
-
-    new = VocoderBlock(TTSXConfig(vocoder=VOC_G, train=tr))
-    new_states = new.init_state(jax.random.PRNGKey(2), mb)
-    new_states = load_vocoder_slim(path, new_states)
-    assert float(jnp.abs(
-        new_states.gen.params["params"]["gain_proj"]["kernel"]).max()) == 0.0
-    old_rt = load_vocoder_slim(path, old_states)
-    w_old = old._synthesize(old_rt.gen.params, old_rt.gst.params,
-                            mb, rng=None, train=False)
-    w_new = new._synthesize(new_states.gen.params, new_states.gst.params,
-                            mb, rng=None, train=False)
-    np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_old),
-                               atol=1e-6)
+# NOTE (round 4): the scale_gain direct output-gain head was killed after
+# two failed training attempts (see VocoderConfig.scale_cond note); its
+# tests were removed with the feature.

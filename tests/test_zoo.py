@@ -46,14 +46,14 @@ def _write_zoo(zd, cfg, params, meta=None, overrides=None):
 
 
 def test_serve_from_zoo_wires_scale_stats(tmp_path):
-    cfg = tiny_cfg(scale_cond=True, scale_gain=True)
+    cfg = tiny_cfg(scale_cond=True)
     pipe = TTSPipeline(cfg)
     params = pipe.init_params(jax.random.PRNGKey(0), batch=1, frames=8)
     stats = np.linspace(-3.0, 1.7, 2 * cfg.vocoder.channels
                         ).astype(np.float32)
     zd = tmp_path / "zoo"
     _write_zoo(zd, cfg, params, meta={"mel_scale_mean": stats},
-               overrides={"scale_cond": True, "scale_gain": True})
+               overrides={"scale_cond": True})
 
     srv = serve_from_zoo(zoo_dir=str(zd), cfg=cfg, max_batch=1, frames=8,
                          bf16=False)

@@ -63,6 +63,12 @@ class RefEncConfig:
     pooling_heads: int = 4
     loss: str = "arcface"  # arcface | ge2e
     arcface_margin: float = 0.3
+    # linear 0 -> arcface_margin ramp over this many steps (the optional
+    # margin schedule of reference loss.py:5-35; 0 = fixed margin). The
+    # anti-overfit lever for small-corpus runs: full margin from step 0
+    # over-separates a memorizable train set (formant EER regressed
+    # 0.100@3.2k -> 0.167@12.8k, VERDICT r3 weak #3).
+    arcface_margin_warmup: int = 0
     arcface_scale: float = 30.0
     ge2e_init_w: float = 10.0
     ge2e_init_b: float = -5.0
@@ -231,18 +237,19 @@ class VocoderConfig:
     # zero-init conditioning projection. Off by default to preserve the
     # recorded round-2 quality curve's comparability.
     scale_cond: bool = False
-    # opt-in DIRECT output gain from the scale stats: a zero-init Dense
-    # ([B, 2*channels] -> per-utterance log-gain) multiplying the
-    # waveform post-tanh (exp(0)=1 at init -> warm-start compatible).
-    # Round-3 measurement: scale_cond alone moved rms_ratio_ema only
-    # 0.68->0.75 in 6k steps — the FiLM path routes scale through
-    # cond_norm (LayerNorm), which nulls constant components, so the
-    # absolute level has to ride conditioning DIRECTIONS. This head is
-    # the direct path: dL/d(gain) is the full-waveform energy gradient.
-    scale_gain: bool = False
-    # bound on |log-gain| (tanh-squashed): caps the head's authority at
-    # exp(+-max) so GAN dynamics cannot run it away (measured round 3)
-    scale_gain_max: float = 0.7
+    # NOTE (round-4 decision): a trained-in DIRECT output-gain head
+    # ("scale_gain", a zero-init Dense from the scale stats multiplying
+    # the waveform post-tanh) was tried twice and KILLED. v1 (unbounded
+    # exp) destabilized the GAN (adv tail 0.24->1.22, MCD 56.7->149 dB,
+    # parity.json vocoder_quality_scale_gain6k); v2 (tanh-bounded
+    # |log g| <= 0.7) trained 3500 steps on top of the healthy
+    # scale_cond-6k fork and made BOTH readouts worse (EMA MCD
+    # 56.7->60.8 dB, rms_ratio_ema 0.746->0.697, ..._scale_gain_v2).
+    # A global scalar is the discriminator's easiest tell. The
+    # gain-matched readout (rms_ratio_gm_ema 0.995+-0.02) proves a
+    # serving-side global gain suffices: absolute level is handled by
+    # scale_cond + the export-meta gain (serve.SynthesisServer
+    # loudness_peak / zoo serve_from_zoo scale_stats).
     ema_decay: float = 0.999
     # fused Pallas ConvT upsample kernel (ttsx/ops/upsample_kernel.py);
     # off by default until trained-quality validation (round-2 agenda)

@@ -216,7 +216,7 @@ class Generator(nn.Module):
         if emo_drop:
             c_emo = jnp.zeros_like(c_emo)
         cond = c_pros + c_sty + c_emo  # [B, T, cond_dim]
-        if (cfg.scale_cond or cfg.scale_gain) and scale is None:
+        if cfg.scale_cond and scale is None:
             scale = jnp.zeros((B, 2 * C), mel.dtype)
         if cfg.scale_cond:
             # absolute-scale cue (VocoderConfig.scale_cond): per-utterance
@@ -269,25 +269,10 @@ class Generator(nn.Module):
         ch = h.shape[-1]
         h = jnp.moveaxis(h, 0, 2).reshape(B, T * up, nb * ch)
         wav = Conv1d(1, 7, name="band_merge")(h)
-        wav = jnp.tanh(wav)
-        if cfg.scale_gain:
-            # direct absolute-level path (VocoderConfig.scale_gain): the
-            # FiLM route above is LayerNorm-washed, so the output level
-            # gets its own zero-init log-gain head. Post-tanh: the
-            # under-loud regime sits in tanh's linear zone, and a
-            # pre-tanh gain would be fought by the saturation.
-            # The log-gain is BOUNDED to |g| <= scale_gain_max: unbounded
-            # exp() measured as a GAN destabilizer (round 3: adv loss
-            # 0.24 -> 1.22, wav MCD 56.7 -> 146 dB — a global scalar is
-            # the discriminator's easiest tell and the 2*channels kernel
-            # params drift at Adam step size). tanh(0)=0 keeps the init
-            # identity; the needed correction is ~1.33x = log 0.285,
-            # well inside the +-0.7 (~2x) bound.
-            g = nn.Dense(1, name="gain_proj",
-                         kernel_init=nn.initializers.zeros)(scale)
-            gm = cfg.scale_gain_max
-            wav = wav * jnp.exp(gm * jnp.tanh(g / gm))[:, None]
-        return wav
+        # NOTE: a trained-in per-utterance output-gain head from the scale
+        # stats was tried twice and killed (see VocoderConfig.scale_cond
+        # note); absolute level is a serving-side gain.
+        return jnp.tanh(wav)
 
 
 # ---------------------------------------------------------------------------

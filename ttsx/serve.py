@@ -50,10 +50,10 @@ class SynthesisServer:
         # distribution (training log-mel mean ~-3, std ~1.7) — require
         # the train-corpus mean vector (slim-export meta `mel_scale_mean`
         # carries it) instead of silently degrading output.
-        if cfg.vocoder.scale_cond or cfg.vocoder.scale_gain:
+        if cfg.vocoder.scale_cond:
             if scale_stats is None:
                 raise ValueError(
-                    "cfg.vocoder.scale_cond/scale_gain is on: pass scale_stats "
+                    "cfg.vocoder.scale_cond is on: pass scale_stats "
                     "([2*channels] train-corpus mean mel [mean||std], "
                     "e.g. the slim export's `mel_scale_mean` meta)")
             scale_stats = np.asarray(scale_stats, np.float32).reshape(-1)

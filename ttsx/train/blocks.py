@@ -229,8 +229,7 @@ class VocoderBlock:
         mel = batch["mel"]
         wav = batch["wav"]
         style = jnp.zeros((mel.shape[0], vc.style_dim), mel.dtype)
-        scale = (batch.get("mel_scale")
-                 if vc.scale_cond or vc.scale_gain else None)
+        scale = batch.get("mel_scale") if vc.scale_cond else None
         gp = jax.jit(lambda k: self.gen.init(
             k, mel, batch["prosody"], style, batch["emotion_probs"],
             scale=scale))(r[0])
@@ -271,8 +270,7 @@ class VocoderBlock:
         else:
             emotion = batch["emotion_probs"]
         vc = self.cfg.vocoder
-        scale = (batch.get("mel_scale")
-                 if vc.scale_cond or vc.scale_gain else None)
+        scale = batch.get("mel_scale") if vc.scale_cond else None
         return self.gen.apply(gen_params, mel, batch["prosody"], style,
                               emotion, scale=scale)
 

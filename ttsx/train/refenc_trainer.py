@@ -45,12 +45,32 @@ class RefEncTrainer:
         return TrainState.create(self.model.apply, params, tx, rng)
 
     # -- loss ------------------------------------------------------------
-    def _loss(self, params, mel, labels, mask):
+    def _margin(self, step):
+        """Linear margin warmup (reference loss.py:5-35 optional margin
+        schedule): 0 -> arcface_margin over arcface_margin_warmup steps."""
+        cfg = self.cfg
+        if cfg.arcface_margin_warmup <= 0:
+            return cfg.arcface_margin
+        frac = jnp.minimum(
+            step.astype(jnp.float32) / cfg.arcface_margin_warmup, 1.0)
+        return cfg.arcface_margin * frac
+
+    def _loss(self, params, mel, labels, mask, step=None,
+              labels2=None, alpha=None):
         cfg = self.cfg
         emb = self.model.apply(params["model"], mel, mask)
         if cfg.loss == "arcface":
-            return L.arcface_loss(emb, labels, params["arcface_w"],
-                                  cfg.arcface_margin, cfg.arcface_scale)
+            margin = (cfg.arcface_margin if step is None
+                      else self._margin(step))
+            loss = L.arcface_loss(emb, labels, params["arcface_w"],
+                                  margin, cfg.arcface_scale)
+            if labels2 is not None:
+                # mixup pair target (reference dataset.py:71-80 beta-mixup
+                # returns (spk, spk2, alpha); convex loss combination)
+                loss2 = L.arcface_loss(emb, labels2, params["arcface_w"],
+                                       margin, cfg.arcface_scale)
+                loss = alpha * loss + (1.0 - alpha) * loss2
+            return loss
         n_spk = cfg.micro_batch // 2 if cfg.micro_batch >= 4 else 2
         m_utt = mel.shape[0] // n_spk
         return L.ge2e_loss(emb, labels, params["ge2e_w"],
@@ -60,7 +80,20 @@ class RefEncTrainer:
     @partial(jax.jit, static_argnums=(0,))
     def train_step(self, state: TrainState, mel, labels, mask=None):
         loss, grads = jax.value_and_grad(self._loss)(
-            state.params, mel, labels, mask)
+            state.params, mel, labels, mask, state.step)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step_mixup(self, state: TrainState, mel, mel2, labels,
+                         labels2, alpha):
+        """Beta-mixup training step (arcface only): inputs are mixed
+        alpha*mel + (1-alpha)*mel2, loss is the convex combination of the
+        two speakers' ArcFace losses. alpha: [B] or scalar."""
+        a = jnp.reshape(alpha, (-1, 1, 1))
+        mixed = a * mel + (1.0 - a) * mel2
+        loss, grads = jax.value_and_grad(self._loss)(
+            state.params, mixed, labels, None, state.step,
+            labels2, jnp.mean(alpha))
         return state.apply_gradients(grads), {"loss": loss}
 
     @partial(jax.jit, static_argnums=(0,))
@@ -74,7 +107,7 @@ class RefEncTrainer:
             g_acc, l_acc = carry
             mel, lab = xs
             loss, grads = jax.value_and_grad(self._loss)(
-                state.params, mel, lab, None)
+                state.params, mel, lab, None, state.step)
             g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
             return (g_acc, l_acc + loss), None
 

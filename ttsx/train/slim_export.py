@@ -113,12 +113,12 @@ def save_vocoder_slim(path: str, states: Any,
 # added to the model AFTER the export was written, all zero-init so the
 # warm-started forward is bit-identical until trained. Anything else
 # missing means the wrong file, and load_vocoder_slim must raise.
-_WARM_START_OK = ("scale_proj", "gain_proj")
+_WARM_START_OK = ("scale_proj",)
 
 
 def load_slim_meta(path: str) -> Dict[str, np.ndarray]:
     """Read the `_meta` entries of a slim export (e.g. `mel_scale_mean`,
-    the train-corpus scale vector a scale_cond/scale_gain
+    the train-corpus scale vector a scale_cond
     SynthesisServer needs as `scale_stats`). Empty dict if none."""
     prefix = "_meta|"
     with np.load(path) as data:

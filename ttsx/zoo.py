@@ -50,7 +50,7 @@ def load_pipeline(cfg=None, zoo_dir: Optional[str] = None,
         from ttsx.eval.parity import _tts_cfg
         cfg = _tts_cfg()
         # zoo.json records the vocoder config deltas the export was
-        # trained with (e.g. scale_cond/scale_gain) — the param tree must
+        # trained with (e.g. scale_cond) — the param tree must
         # be built with them or load_slim's shapes won't line up
         ov = zoo_info(zoo_dir).get("vocoder_overrides") or {}
         known = {f.name for f in dataclasses.fields(cfg.vocoder)}
