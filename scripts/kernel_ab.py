@@ -12,8 +12,11 @@ Run ON TPU (never alongside another TPU process):
 Appends a JSON line to eval_results/kernel_ab.json.
 """
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -80,3 +80,70 @@ def test_engine_grad_accum():
     # a second accumulated step still has batches to consume
     m2 = tr.train_step(synthetic_batch(cfg, 2, 4, seed=7, with_wav=False))
     assert np.isfinite(m2["acoustic/loss"])
+
+
+def test_observer_pre_forward_hook(tmp_path):
+    """Observer.pre_forward(stage, batch) is applied per stage in train
+    AND validation (ref loop.py:63,115,165-169 + trainer.py:51-52)."""
+    from ttsx.train.observer import Observer
+
+    seen = []
+
+    def spy(stage, batch):
+        seen.append(stage)
+        return batch
+
+    cfg = cfg_with(val_freq=0, checkpoint_freq=0, max_steps=2,
+                   vocoder_freeze_until=0, grad_accum_steps=1,
+                   refiner_update_freq=1)
+    obs = Observer(spy, policy={"stages": ["acoustic", "refiner"]})
+    tr = UnifiedTrainer(cfg, synthetic_stream(cfg, 2, 4, n=3),
+                        blocks=("acoustic", "refiner"), observer=obs)
+    first = synthetic_batch(cfg, 2, 4, seed=0, with_wav=False)
+    tr.init_states(first)
+    tr.train_step(first)
+    assert seen == ["acoustic", "refiner"]
+    # policy gating: refiner-only observer skips the acoustic stage
+    seen.clear()
+    tr.observer = Observer(spy, policy={"stages": ["refiner"]})
+    tr.train_step(synthetic_batch(cfg, 2, 4, seed=1, with_wav=False))
+    assert seen == ["refiner"]
+    # validation path applies it too (training=False)
+    seen.clear()
+    tr.observer = Observer(spy)
+    tr.val_iter = [synthetic_batch(cfg, 2, 4, seed=2, with_wav=False)]
+    tr.validate()
+    assert seen == ["acoustic", "refiner"]
+    # a hook that transforms the batch actually changes the step: zeroing
+    # mel changes the acoustic loss vs an identity run
+    def zero_mel(stage, batch):
+        return {**batch, "mel": batch["mel"] * 0}
+
+    tr2 = UnifiedTrainer(cfg, synthetic_stream(cfg, 2, 4, n=3),
+                         blocks=("acoustic",),
+                         observer=Observer(zero_mel))
+    tr3 = UnifiedTrainer(cfg, synthetic_stream(cfg, 2, 4, n=3),
+                         blocks=("acoustic",))
+    b = synthetic_batch(cfg, 2, 4, seed=3, with_wav=False)
+    tr2.init_states(b)
+    tr3.init_states(b)
+    m2 = tr2.train_step(b)
+    m3 = tr3.train_step(b)
+    assert m2["acoustic/loss"] != m3["acoustic/loss"]
+    # a raising hook is contained and counted, not fatal
+    def boom(stage, batch):
+        raise RuntimeError("observer bug")
+
+    tr3.observer = Observer(boom)
+    tr3.train_step(synthetic_batch(cfg, 2, 4, seed=4, with_wav=False))
+    assert tr3.observer.errors >= 1
+
+
+def test_observer_module_path_resolution():
+    """'module:attr' target resolution (the reference's module_path)."""
+    from ttsx.train.observer import Observer
+    obs = Observer("operator:itemgetter")  # any callable resolves
+    assert callable(obs.fn)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Observer("no-colon-path")

@@ -179,13 +179,22 @@ def test_wav_quality_continuous_voiced():
 
 
 def test_der_overlap_aware():
-    """Frames with two simultaneous reference speakers score correct if
-    the hypothesis matches EITHER (dialogue_hard overlapped turns)."""
+    """NIST-style set scoring: an overlapped frame needs BOTH reference
+    speakers in the hypothesis for full credit; matching one of two is
+    half an error (miss), and a both-speaker hypothesis scores 0."""
     ref = [(0.0, 2.0, "a"), (1.5, 3.5, "b")]  # 1.5-2.0 overlapped
-    hyp_a = [(0.0, 2.0, "x"), (2.0, 3.5, "y")]  # overlap region -> a
-    hyp_b = [(0.0, 1.5, "x"), (1.5, 3.5, "y")]  # overlap region -> b
-    assert diarization_error_rate(ref, hyp_a) < 0.01
-    assert diarization_error_rate(ref, hyp_b) < 0.01
+    # total ref speaker time = 1.5 + 2*0.5 + 1.5 = 4.0 s
+    hyp_a = [(0.0, 2.0, "x"), (2.0, 3.5, "y")]  # overlap region -> a only
+    hyp_b = [(0.0, 1.5, "x"), (1.5, 3.5, "y")]  # overlap region -> b only
+    # 0.5 s of single-speaker miss on 4.0 s -> 0.125
+    assert abs(diarization_error_rate(ref, hyp_a) - 0.125) < 0.01
+    assert abs(diarization_error_rate(ref, hyp_b) - 0.125) < 0.01
+    # emitting BOTH speakers over the overlap region is exact
+    hyp_both = [(0.0, 2.0, "x"), (1.5, 3.5, "y")]
+    assert diarization_error_rate(ref, hyp_both) < 0.01
     # non-overlapping behavior unchanged: wrong-speaker still errors
     hyp_bad = [(0.0, 3.5, "x")]
     assert diarization_error_rate(ref, hyp_bad) > 0.3
+    # spurious extra overlap speaker is a false alarm, not free
+    hyp_fa = [(0.0, 2.0, "x"), (1.5, 3.5, "y"), (0.0, 1.5, "z")]
+    assert diarization_error_rate(ref, hyp_fa) > 0.3

@@ -556,3 +556,116 @@ def test_split_slices_at_overlaps():
     # no regions -> unchanged
     assert split_slices_at_overlaps(slices, []) == \
         [(0.0, 3.0), (3.5, 4.2)]
+
+
+def test_plot_map_pivot_split(tmp_path):
+    """An arc pivot strictly inside a beat splits it into pre/post halves
+    (reference plot_map.py:432-443): post half gets beat_id '<id>.5'."""
+    ctx = {"job_id": "job1", "output_dir": str(tmp_path),
+           "speaker_ids": ["spkA"], "step_times": {}}
+    d = tmp_path / "emotion_tags" / "spkA"
+    d.mkdir(parents=True)
+    tags = [{"start": t, "end": t + 1.0, "text": f"utt {t}",
+             "label": "joy" if t < 5 else "anger", "confidence": 0.9}
+            for t in [0.0, 2.0, 4.0, 6.0, 8.0]]
+    write_json_atomic(d / "tier2_tags.json", {"tags": tags})
+    write_json_atomic(d / "drift_vector.json", {"deltas": []})
+    # one 0-10s arc segment -> beats at [0,10/3), [10/3,20/3), [20/3,10);
+    # pivot at 5.0 falls strictly inside beat 1
+    write_json_atomic(tmp_path / "arc_classification.json", {
+        "segments": [{"start": 0.0, "end": 10.0,
+                      "dominant_emotion": "joy", "group": "Positive",
+                      "n_tags": 5}],
+        "pivots": [5.0], "pattern": "flat"})
+    out = PlotMapStage(beats_per_arc=3)(ctx)
+    assert out["status"] == "ok"
+    pm = read_json(tmp_path / "plot_map.json")
+    assert pm["n_beats"] == 4              # 3 beats, one split into 2
+    ids = [b["beat_id"] for b in pm["beats"]]
+    assert "1.5" in [str(i) for i in ids]
+    halves = [b for b in pm["beats"]
+              if str(b["beat_id"]) in ("1", "1.5")]
+    assert halves[0]["end"] == 5.0 and halves[1]["start"] == 5.0
+    assert "(pre-pivot)" in halves[0]["title"]
+    assert "(post-pivot)" in halves[1]["title"]
+    # beat boundaries stay contiguous and back-annotation still resolves
+    drift = read_json(d / "drift_vector.json")
+    assert len(drift["beat_ids"]) == 5
+    assert all(str(b) != "-1" for b in drift["beat_ids"])
+
+
+def test_arc_pivots_are_times(tagged_context, tmp_path):
+    """ArcStage pivots are TIMES (ref arc.py:113), inside the tag span."""
+    ctx = tagged_context
+    DriftStage()(ctx)
+    Tier1Stage()(ctx)
+    Tier2Stage()(ctx)
+    ArcStage()(ctx)
+    arc = read_json(tmp_path / "arc_classification.json")
+    end = 8.0  # tagged_context transcript spans 0-8s
+    assert all(0.0 <= p <= end for p in arc["pivots"])
+
+
+def test_diarizer_run_visualization(tmp_path):
+    """diarize_single writes timeline.html (ref cli.py:46-55
+    visualize_results: sim-matrix + slice-timeline figures)."""
+    wav, truth = two_speaker_wav()
+    wav_path = tmp_path / "m.wav"
+    write_wav(wav_path, wav, AU.sample_rate)
+    ctl = DiarizerController(AU, min_dur=1.0, max_dur=3.0)
+    res = ctl.diarize_single(str(wav_path), str(tmp_path / "out"),
+                             rebuild=False)
+    assert res
+    html = (tmp_path / "out" / "timeline.html").read_text()
+    assert html.count("<svg") == 2       # heatmap + timeline
+    for spk in set(res["speakers"]):
+        assert spk in html
+
+
+def test_merge_clusters_fixes_fragmentation():
+    """Prototype-cosine agglomerative merge rejoins fragments of the
+    same speaker without fusing distinct speakers."""
+    from ttsx.pipeline.diarizer.cluster import merge_clusters
+    rng = np.random.default_rng(0)
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    embs = np.concatenate([
+        a + 0.05 * rng.normal(size=(10, 3)),
+        b + 0.05 * rng.normal(size=(10, 3))])
+    # over-fragmented: speaker A split into clusters 0/1, B into 2/3
+    labels = np.array([0] * 5 + [1] * 5 + [2] * 5 + [3] * 5)
+    merged = merge_clusters(embs, labels, thresh=0.75)
+    assert len(np.unique(merged)) == 2
+    assert len(set(merged[:10])) == 1 and len(set(merged[10:])) == 1
+    assert merged[0] != merged[10]
+    # an unreachable threshold keeps all 4 fragments
+    kept = merge_clusters(embs, labels, thresh=1.01)
+    assert len(np.unique(kept)) == 4
+    # empty input is fine
+    assert merge_clusters(np.zeros((0, 3)), np.zeros(0, int)).size == 0
+
+
+def test_diarizer_overlap_speakers_mapped(tmp_path):
+    """diarize_single returns overlap_speakers with MAPPED speaker names
+    and the RTTM grows multi-label rows for uncovered overlap spans."""
+    from ttsx.pipeline.diarizer.rebuilder import write_rttm, reconstruct_audio
+    wav, truth = two_speaker_wav()
+    wav_path = tmp_path / "m.wav"
+    write_wav(wav_path, wav, AU.sample_rate)
+    ctl = DiarizerController(AU, min_dur=1.0, max_dur=3.0)
+    res = ctl.diarize_single(str(wav_path), str(tmp_path / "out"))
+    assert "overlap_speakers" in res
+    names = set(res["speakers"])
+    for s, e, sa, sb, conf in res["overlap_speakers"]:
+        assert sa in names and sb in names
+    # rebuilder emits one extra RTTM row per uncovered overlap speaker
+    out2 = tmp_path / "rb"
+    out2.mkdir()
+    reconstruct_audio(wav, AU, out2, "job", [(0.0, 2.0), (2.5, 4.5)],
+                      ["A", "B"],
+                      overlaps=[(1.8, 2.6, 0, 1, 0.9)],
+                      overlap_speakers=[(1.8, 2.6, "A", "B", 0.9)])
+    rows = (out2 / "job.rttm").read_text().strip().splitlines()
+    # A covers (0,2) not (1.8,2.6) -> extra A row; B doesn't cover it
+    # fully either -> extra B row
+    assert len(rows) == 4

@@ -91,3 +91,36 @@ def test_load_pipeline_reports_missing_and_reads_overrides(tmp_path):
     pipe, params = load_pipeline(cfg=cfg, zoo_dir=str(zd))
     assert set(params["_missing"]) == {"acoustic", "refiner", "vocoder"}
     assert zoo_info(str(zd))["vocoder_overrides"]["scale_cond"] is True
+
+
+CHECKED_IN_ZOO = json.loads(
+    (__import__("pathlib").Path(__file__).parent.parent
+     / "eval_results/zoo/zoo.json").read_text()) \
+    if (__import__("pathlib").Path(__file__).parent.parent
+        / "eval_results/zoo/zoo.json").exists() else None
+
+
+@pytest.mark.skipif(CHECKED_IN_ZOO is None,
+                    reason="eval_results/zoo not exported yet")
+def test_checked_in_zoo_serves_nonsilent_audio():
+    """zoo.py's own contract (zoo.py:4-9): a fresh clone synthesizes
+    with trained weights — every stage restored (no _missing), non-silent
+    finite audio out (VERDICT r3 next #7)."""
+    from ttsx.serve import SynthesisRequest
+
+    pipe, params = load_pipeline()
+    assert params["_missing"] == []
+    srv = serve_from_zoo(max_batch=1, frames=64, bf16=False)
+    T = 64
+    rng = np.random.default_rng(0)
+    req = SynthesisRequest(
+        text_emb=rng.normal(size=(T, pipe.cfg.acoustic.text_emb_dim)
+                            ).astype(np.float32),
+        prosody=rng.normal(size=(T, 18)).astype(np.float32),
+        emotion_probs=np.full(6, 1 / 6, np.float32),
+        speaker=rng.normal(size=pipe.cfg.acoustic.speaker_dim
+                           ).astype(np.float32),
+        style_id=0)
+    wav = srv.serve_batch([req])[0]
+    assert np.isfinite(wav).all()
+    assert float(np.abs(wav).max()) > 1e-3, "zoo synthesis is silent"

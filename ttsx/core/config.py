@@ -290,6 +290,10 @@ class DiarizerConfig:
     long_audio_s: float = 3600.0
     certainty_floor: float = 0.7
     cluster_method: str = "modularity"  # modularity | kmeans
+    # post-cluster prototype-cosine agglomerative merge threshold
+    # (cluster.merge_clusters; <= 0 disables). Counters modularity
+    # over-fragmentation on noisy streams (hyp speaker-count inflation).
+    cluster_merge_thresh: float = 0.75
     embed_dim: int = 192
     batch_size: int = 1
     dtype: str = "float32"

@@ -61,13 +61,18 @@ def diarizer_hard(n_speakers: int = 6, n_turns: int = 48,
     wav_path = out / "dialogue_hard.wav"
     write_wav(wav_path, wav.astype(np.float32), AUDIO.sample_rate)
 
-    def run(embedder, screen, tag):
+    def run(embedder, screen, tag, merge_thresh=0.75):
         ctl = DiarizerController(AUDIO, embedder=embedder,
                                  min_dur=0.8, max_dur=3.0,
-                                 overlap_screen=screen)
+                                 overlap_screen=screen,
+                                 cluster_merge_thresh=merge_thresh)
         res = ctl.diarize_single(str(wav_path), str(out / f"diar_{tag}"))
         hyp = [(s, e, spk) for (s, e), spk in
                zip(res.get("slices", []), res.get("speakers", []))]
+        # overlap regions are multi-label: both detected speakers enter
+        # the hypothesis (the NIST-style DER needs both for full credit)
+        hyp += [(s, e, spk) for s, e, sa, sb, _c in
+                res.get("overlap_speakers", []) for spk in (sa, sb)]
         return res, {
             "der": float(diarization_error_rate(truth, hyp)),
             "der_collar_250ms": float(diarization_error_rate(
@@ -92,6 +97,14 @@ def diarizer_hard(n_speakers: int = 6, n_turns: int = 48,
     screen = OverlapScreen(AUDIO, net["params"])
     res_s, der_s = run(emb, screen, "screened")
 
+    # prototype-merge threshold sweep on the full trained+screened stack
+    # (reuses the trained nets; each pass is one diarize run)
+    merge_sweep = {}
+    for th in (0.0, 0.65, 0.85):
+        _, d = run(emb, screen, f"screened_m{int(th * 100)}",
+                   merge_thresh=th)
+        merge_sweep[f"{th:.2f}"] = d
+
     ov = lambda res: [(s, e) for (s, e, *_rest) in res.get("overlaps", [])]
     return {"exp": "diarizer_hard", "corpus": corpus_kind,
             "n_true_speakers": n_speakers, "n_turns": n_turns,
@@ -99,6 +112,7 @@ def diarizer_hard(n_speakers: int = 6, n_turns: int = 48,
             "n_true_overlaps": len(ov_truth),
             "untrained": der_u, "trained": der_t,
             "trained_screened": der_s,
+            "merge_thresh_sweep": merge_sweep,
             "train_steps": train_steps,
             "overlap_window_eval": net["eval"],
             "overlap_stream_heuristic": _interval_pr(ov(res_t), ov_truth),

@@ -34,7 +34,9 @@ def reconstruct_audio(wav: np.ndarray, au: AudioConfig, out_dir: str | Path,
                       overlaps: Optional[List[Tuple]] = None,
                       asr=None,
                       separate_fn: Optional[Callable] = None,
-                      silence_ms: float = 100.0) -> Dict:
+                      silence_ms: float = 100.0,
+                      overlap_speakers: Optional[List[Tuple]] = None
+                      ) -> Dict:
     """Returns {speaker: wav_path}; writes all §2.3 rebuild artifacts."""
     from ttsx.data.dataset import write_wav
 
@@ -97,6 +99,16 @@ def reconstruct_audio(wav: np.ndarray, au: AudioConfig, out_dir: str | Path,
         }
 
     write_json_atomic(out_dir / "speaker_stats.json", stats)
+    # overlapped regions are MULTI-label: add an RTTM line for each
+    # overlap speaker whose own slices don't already cover the span
+    # (RTTM supports simultaneous speaker rows natively)
+    for ov in overlap_speakers or []:
+        s, e = float(ov[0]), float(ov[1])
+        for spk in ov[2:4]:
+            covered = any(o0 <= s and e <= o1
+                          for o0, o1 in by_spk.get(spk, []))
+            if not covered:
+                all_rttm.append((s, e, spk))
     write_rttm(out_dir / f"{job_id}.rttm", job_id, sorted(all_rttm))
     with open(out_dir / "summary.csv", "w", newline="") as f:
         w = csv.writer(f)

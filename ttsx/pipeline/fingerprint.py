@@ -99,11 +99,15 @@ class ArcStage(Stage):
         confs = np.asarray([t["confidence"] for t in all_tags])
         assign = kmeans_1d(confs, k) if len(confs) >= k else np.zeros(
             len(confs), int)
-        pivots = [i for i in range(1, len(assign))
-                  if assign[i] != assign[i - 1]]
+        pivot_idx = [i for i in range(1, len(assign))
+                     if assign[i] != assign[i - 1]]
+        # artifact contract: pivots are TIMES (the pivot tag's start),
+        # not indices — reference arc.py:113; plot_map consumes them to
+        # split beats at pivot boundaries
+        pivots = [float(all_tags[i].get("start", 0.0)) for i in pivot_idx]
 
         # dominant-emotion segments between pivots
-        seg_bounds = [0] + pivots + [len(all_tags)]
+        seg_bounds = [0] + pivot_idx + [len(all_tags)]
         segments = []
         for a, b in zip(seg_bounds[:-1], seg_bounds[1:]):
             seg_tags = all_tags[a:b]

@@ -57,6 +57,27 @@ class PlotMapStage(Stage):
         self.summarize = summarize_fn or default_summarize
         self.write_html = write_html
 
+    def _make_beat(self, beat_id, a: float, b: float, all_tags: List[Dict],
+                   title_suffix: str = "") -> Dict:
+        tags = [t for t in all_tags if a <= t.get("start", 0.0) < b]
+        dom = (Counter(t["label"] for t in tags).most_common(1)[0][0]
+               if tags else "neutral")
+        speakers = Counter(t["speaker"] for t in tags)
+        return {
+            "beat_id": beat_id,
+            "start": round(a, 2), "end": round(b, 2),
+            "title": self.summarize([t["text"] for t in tags])
+                     + title_suffix,
+            "dominant_emotion": dom,
+            "speaker_insights": {
+                s: {"n_tags": c,
+                    "dominant": Counter(
+                        t["label"] for t in tags
+                        if t["speaker"] == s).most_common(1)[0][0]}
+                for s, c in speakers.items()},
+            "tags": tags,
+        }
+
     def run(self, context: Dict) -> Dict:
         out_dir = Path(context["output_dir"])
         arc = read_json(out_dir / "arc_classification.json", {})
@@ -82,36 +103,36 @@ class PlotMapStage(Stage):
             bounds = list(np.arange(0.0, end + self.chunk_s, self.chunk_s))
         bounds = sorted(set(bounds))
 
-        beats = []
+        beats = [self._make_beat(i, a, b, all_tags)
+                 for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:]))]
+
+        # pivot-aligned beat boundaries (ref plot_map.py:432-443): an arc
+        # pivot falling strictly inside a beat splits it into pre/post
+        # halves; the post half gets beat_id "<id>.5" like the reference
+        pivots = sorted(float(p) for p in arc.get("pivots", []))
+        if pivots:
+            adjusted, pi = [], 0
+            for beat in beats:
+                while pi < len(pivots) and pivots[pi] <= beat["start"]:
+                    pi += 1
+                if pi < len(pivots) and beat["start"] < pivots[pi] < beat["end"]:
+                    p = pivots[pi]
+                    adjusted.append(self._make_beat(
+                        beat["beat_id"], beat["start"], p, all_tags,
+                        title_suffix=" (pre-pivot)"))
+                    adjusted.append(self._make_beat(
+                        f"{beat['beat_id']}.5", p, beat["end"], all_tags,
+                        title_suffix=" (post-pivot)"))
+                else:
+                    adjusted.append(beat)
+            beats = adjusted
+
         maps_dir = out_dir / "plot_maps"
         if self.write_html:
             maps_dir.mkdir(parents=True, exist_ok=True)
-        for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
-            tags = [t for t in all_tags
-                    if a <= t.get("start", 0.0) < b]
-            dom = (Counter(t["label"] for t in tags).most_common(1)[0][0]
-                   if tags else "neutral")
-            speakers = Counter(t["speaker"] for t in tags)
-            beat = {
-                "beat_id": i,
-                "start": round(a, 2), "end": round(b, 2),
-                "title": self.summarize([t["text"] for t in tags]),
-                "dominant_emotion": dom,
-                "speaker_insights": {
-                    s: {"n_tags": c,
-                        "dominant": Counter(
-                            t["label"] for t in tags
-                            if t["speaker"] == s).most_common(1)[0][0]}
-                    for s, c in speakers.items()},
-                "tags": tags,
-            }
-            beats.append(beat)
-            if self.write_html:
-                (maps_dir / f"beat_{i:03d}.html").write_text(
+            for j, beat in enumerate(beats):
+                (maps_dir / f"beat_{j:03d}.html").write_text(
                     _beat_html(beat))
-
-        # split beats at arc pivots (plot_map.py pivot splitting)
-        pivots = arc.get("pivots", [])
 
         # back-annotate beat_ids into each speaker's drift_vector.json
         for spk in context.get("speaker_ids", []):

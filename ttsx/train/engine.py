@@ -80,7 +80,7 @@ class UnifiedTrainer:
                  callbacks: Optional[List[Callback]] = None,
                  blocks: Iterable[str] = ("acoustic", "refiner", "vocoder"),
                  checkpoint_dir: Optional[str] = None,
-                 mesh=None):
+                 mesh=None, observer=None):
         self.cfg = cfg
         self.train_iter = iter(train_iter)
         # val_iter may be a list/dataset (re-iterable), a factory callable,
@@ -101,7 +101,19 @@ class UnifiedTrainer:
         # optional dp mesh: batches sharded on 'dp', states replicated —
         # the engine-level DDP analog (train/unified_trainer.py:78-101)
         self.mesh = mesh
+        # observer pre-forward hook (ref loop.py:63,115,165-169 +
+        # trainer.py:51-52): per-stage batch transform applied before
+        # every stage's step in train AND validation
+        self.observer = observer
         self._rng = jax.random.PRNGKey(cfg.train.seed)
+
+    def _pre_forward(self, stage: str, batch: Dict,
+                     training: bool = True) -> Dict:
+        if self.observer is None:
+            return batch
+        return self.observer.pre_forward(stage, batch,
+                                         step=self.state.global_step,
+                                         training=training)
 
     def _place(self, batch: Dict) -> Dict:
         if self.mesh is None:
@@ -131,10 +143,12 @@ class UnifiedTrainer:
         if "acoustic" in self.blocks:
             if cfg.grad_accum_steps > 1:
                 # collect A-1 more batches, stack, one accumulated step
-                micro = [batch]
+                micro = [self._pre_forward("acoustic", batch)]
                 for _ in range(cfg.grad_accum_steps - 1):
                     try:
-                        micro.append(self._place(next(self.train_iter)))
+                        micro.append(self._pre_forward(
+                            "acoustic",
+                            self._place(next(self.train_iter))))
                     except StopIteration:
                         break
                 keys = [k for k in micro[0]
@@ -145,7 +159,8 @@ class UnifiedTrainer:
                     self.block_states["acoustic"], stacked)
             else:
                 st, out = self.blocks["acoustic"].train_step(
-                    self.block_states["acoustic"], batch)
+                    self.block_states["acoustic"],
+                    self._pre_forward("acoustic", batch))
             self.block_states["acoustic"] = st
             metrics.update({f"acoustic/{k}": float(v)
                             for k, v in out["metrics"].items()})
@@ -154,7 +169,8 @@ class UnifiedTrainer:
         if ("refiner" in self.blocks
                 and self.state.global_step % cfg.refiner_update_freq == 0):
             st, out = self.blocks["refiner"].train_step(
-                self.block_states["refiner"], batch, mel_pred,
+                self.block_states["refiner"],
+                self._pre_forward("refiner", batch), mel_pred,
                 jnp.asarray(self.state.noise_scale, jnp.float32),
                 jnp.asarray(self.state.l1_weight, jnp.float32))
             self.block_states["refiner"] = st
@@ -166,11 +182,12 @@ class UnifiedTrainer:
                 and "wav" in batch):
             voc = self.blocks["vocoder"]
             vstate = self.block_states["vocoder"]
+            vbatch = self._pre_forward("vocoder", batch)
             d_steps = self._dynamic_d_steps()
             try:
                 for _ in range(d_steps):
-                    vstate, dm = voc.disc_step(vstate, batch)
-                vstate, gm = voc.gen_step(vstate, batch)
+                    vstate, dm = voc.disc_step(vstate, vbatch)
+                vstate, gm = voc.gen_step(vstate, vbatch)
                 self.block_states["vocoder"] = vstate
                 d_l, g_l = float(dm["d_loss"]), float(gm["g_loss"])
                 metrics["vocoder/d_loss"] = d_l
@@ -222,7 +239,9 @@ class UnifiedTrainer:
             batch = self._place(batch)
             if "acoustic" in self.blocks:
                 params = self.block_states["acoustic"].eval_params(use_ema)
-                out = self.blocks["acoustic"].val_step(params, batch)
+                out = self.blocks["acoustic"].val_step(
+                    params, self._pre_forward("acoustic", batch,
+                                              training=False))
                 mel_pred = out["mel_pred"]
             else:
                 out = None
@@ -230,7 +249,8 @@ class UnifiedTrainer:
             if "refiner" in self.blocks:
                 rout = self.blocks["refiner"].val_step(
                     self.block_states["refiner"].eval_params(use_ema),
-                    batch, mel_pred)
+                    self._pre_forward("refiner", batch, training=False),
+                    mel_pred)
                 vals.append(float(rout["val_l1"]))
             else:
                 vals.append(float(out["val_l1"]))
