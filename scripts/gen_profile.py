@@ -23,14 +23,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(r):
+    # block_until_ready through the axon tunnel resolves before device
+    # execution completes; an actual device->host transfer is the only
+    # honest fence (same rule as bench.py).
+    leaf = jax.tree_util.tree_leaves(r)[-1]
+    float(jnp.sum(leaf))
+
+
 def amortized_ms(fn, args, runs=30, warmup=2):
     for _ in range(warmup):
         r = fn(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     t0 = time.perf_counter()
     for _ in range(runs):
         r = fn(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     return (time.perf_counter() - t0) / runs * 1e3
 
 
@@ -46,7 +54,14 @@ def main():
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 4)
 
+    mel = jax.random.normal(ks[0], (B, T, base.vocoder.channels))
+    pros = jax.random.normal(ks[1], (B, T, 18))
+    emo = jnp.full((B, 6), 1.0 / 6.0)
+
     def build(cfg, attn_identity=False):
+        """Init AND trace/compile inside the patched region — jit traces
+        lazily at first call, so the attn-identity patch must still be
+        active when lowering happens (r4 leg failure: ScopeParamNotFound)."""
         import ttsx.nn.attention as attn_mod
         orig = attn_mod.SelfAttention1d.__call__
         if attn_identity:
@@ -62,13 +77,14 @@ def main():
             def gst_only(pg, m):
                 return pipe.gst.apply(pg, m)
 
-            return (jax.jit(gg), jax.jit(gst_only), params)
+            t0 = time.perf_counter()
+            ggc = jax.jit(gg).lower(params["gst"], params["generator"],
+                                    mel, pros, emo).compile()
+            compile_s = time.perf_counter() - t0
+            gstc = jax.jit(gst_only).lower(params["gst"], mel).compile()
+            return ggc, gstc, params, compile_s
         finally:
             attn_mod.SelfAttention1d.__call__ = orig
-
-    mel = jax.random.normal(ks[0], (B, T, base.vocoder.channels))
-    pros = jax.random.normal(ks[1], (B, T, 18))
-    emo = jnp.full((B, 6), 1.0 / 6.0)
 
     variants = {
         "flagship_pallas": (base, False),
@@ -82,17 +98,19 @@ def main():
                 use_pallas_resblock_stack=False)), False),
     }
     for name, (cfg, no_attn) in variants.items():
-        t0 = time.perf_counter()
-        gg, gst_only, params = build(cfg, attn_identity=no_attn)
-        w = gg(params["gst"], params["generator"], mel, pros, emo)
-        jax.block_until_ready(w)
-        out[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
-        out[f"{name}_device_ms"] = round(amortized_ms(
-            gg, (params["gst"], params["generator"], mel, pros, emo)), 3)
-        if name == "flagship_pallas":
-            out["gst_only_device_ms"] = round(amortized_ms(
-                gst_only, (params["gst"], mel)), 3)
-        print(name, out[f"{name}_device_ms"], "ms", flush=True)
+        try:
+            gg, gst_only, params, compile_s = build(
+                cfg, attn_identity=no_attn)
+            out[f"{name}_compile_s"] = round(compile_s, 1)
+            out[f"{name}_device_ms"] = round(amortized_ms(
+                gg, (params["gst"], params["generator"], mel, pros, emo)), 3)
+            if name == "flagship_pallas":
+                out["gst_only_device_ms"] = round(amortized_ms(
+                    gst_only, (params["gst"], mel)), 3)
+            print(name, out[f"{name}_device_ms"], "ms", flush=True)
+        except Exception as e:  # keep other variants' numbers
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(name, "FAILED", out[f"{name}_error"], flush=True)
 
     # refiner compile-time watch (28.5 s r02 -> 75 s r03, unexplained)
     pipe = TTSPipeline(base)

@@ -23,14 +23,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(r):
+    # block_until_ready through the axon tunnel resolves before device
+    # execution completes; an actual device->host transfer is the only
+    # honest fence (same rule as bench.py).
+    float(jnp.sum(jax.tree_util.tree_leaves(r)[-1]))
+
+
 def amortized_ms(fn, args, runs=30, warmup=2):
     for _ in range(warmup):
         r = fn(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     t0 = time.perf_counter()
     for _ in range(runs):
         r = fn(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     return (time.perf_counter() - t0) / runs * 1e3
 
 

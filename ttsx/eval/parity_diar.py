@@ -62,10 +62,16 @@ def diarizer_hard(n_speakers: int = 6, n_turns: int = 48,
     write_wav(wav_path, wav.astype(np.float32), AUDIO.sample_rate)
 
     def run(embedder, screen, tag, merge_thresh=0.75):
+        # production first-pass config (round 4): 1 s uniform windows +
+        # spectral clustering w/ eigengap count (cluster.spectral_cluster)
+        # — VAD slices span turns on this stream (27 slices / 48 turns),
+        # so slice-granularity labeling was capped near chance.
         ctl = DiarizerController(AUDIO, embedder=embedder,
                                  min_dur=0.8, max_dur=3.0,
                                  overlap_screen=screen,
-                                 cluster_merge_thresh=merge_thresh)
+                                 cluster_merge_thresh=merge_thresh,
+                                 cluster_method="spectral",
+                                 subsegment_s=1.0)
         res = ctl.diarize_single(str(wav_path), str(out / f"diar_{tag}"))
         hyp = [(s, e, spk) for (s, e), spk in
                zip(res.get("slices", []), res.get("speakers", []))]

@@ -28,7 +28,8 @@ from ttsx.pipeline.contracts import write_json_atomic
 from ttsx.pipeline.diarizer.slicer import dynamic_slice
 from ttsx.pipeline.diarizer.embedding import SliceEmbedder
 from ttsx.pipeline.diarizer.cluster import (
-    time_aware_sim, temporal_cluster, merge_clusters, ReIDMemory)
+    time_aware_sim, temporal_cluster, merge_clusters, stitch_segments,
+    ReIDMemory)
 from ttsx.pipeline.diarizer.overlap import detect_overlaps
 from ttsx.pipeline.diarizer.rebuilder import reconstruct_audio
 
@@ -68,7 +69,8 @@ class DiarizerController:
                  certainty_floor: float = 0.7,
                  cluster_method: str = "modularity",
                  overlap_screen=None,
-                 cluster_merge_thresh: float = 0.75):
+                 cluster_merge_thresh: float = 0.75,
+                 subsegment_s: float = 0.0):
         self.au = au or AudioConfig()
         self.embedder = embedder or SliceEmbedder(self.au)
         self.memory = memory or ReIDMemory()
@@ -85,6 +87,14 @@ class DiarizerController:
         # disables (see cluster.merge_clusters — the speaker-count
         # inflation fix)
         self.cluster_merge_thresh = cluster_merge_thresh
+        # uniform sub-segmentation: >0 explodes every VAD slice into
+        # non-overlapping windows of this length before embedding, and
+        # same-speaker windows are stitched back after labeling. VAD
+        # slices span multiple turns when speakers hand over without
+        # silence (measured: 27 slices for 48 turns on the hard stream),
+        # which caps DER at ~chance no matter how good the encoder or
+        # clusterer is — label granularity must be finer than a turn.
+        self.subsegment_s = subsegment_s
 
     @classmethod
     def from_config(cls, cfg, au: Optional[AudioConfig] = None):
@@ -168,6 +178,12 @@ class DiarizerController:
                 mapping, certainty = self.memory.re_id(cluster_embs)
                 times["reslice"] = time.perf_counter() - t
 
+            if self.subsegment_s > 0:
+                # windows -> same-speaker segments (labels/certainty were
+                # computed at window granularity; output is segment-level)
+                slices, labels, embs = stitch_segments(slices, labels,
+                                                       embs)
+
             t = time.perf_counter()
             overlaps = detect_overlaps(wav, self.au, slices, labels, embs,
                                        screen=self.overlap_screen)
@@ -250,13 +266,32 @@ class DiarizerController:
             slices = split_slices_at_overlaps(slices, regions)
             stats = dict(stats, overlap_splits=len(regions))
             times["overlap_reseg"] = time.perf_counter() - t
+        slices = self._explode(slices)
         t = time.perf_counter()
         embs = self.embedder.extract(wav, slices)
         times["embed"] = time.perf_counter() - t
         return slices, embs, stats
 
+    def _explode(self, slices):
+        """Uniform sub-segmentation (see __init__.subsegment_s): split
+        each slice into non-overlapping `subsegment_s` windows; a
+        remainder shorter than half a window joins the last one."""
+        w = self.subsegment_s
+        if w <= 0:
+            return slices
+        out = []
+        for s, e in slices:
+            n = max(int((e - s) / w), 1)
+            edges = [s + i * w for i in range(n)] + [e]
+            if n > 1 and edges[-1] - edges[-2] < 0.5 * w:
+                edges.pop(-2)
+            out.extend((round(a, 3), round(b, 3))
+                       for a, b in zip(edges, edges[1:]))
+        return out
+
     def _reslice(self, wav, min_dur):
-        return dynamic_slice(wav, self.au, min_dur, self.max_dur)
+        slices, stats = dynamic_slice(wav, self.au, min_dur, self.max_dur)
+        return self._explode(slices), stats
 
     def _chunked(self, wav):
         """60 s chunks with offset merge (cli.py:82-109 process_chunk)."""

@@ -107,15 +107,30 @@ def detect_overlaps(wav: np.ndarray, au: AudioConfig,
         regions = [(max(s - 0.2, 0.0), e + 0.2) for s, e in slices]
         hits = screen_stream(wav, au, screen, regions,
                              thresh=screen_thresh)
+        # per-label prototypes: during true overlap the covering slice's
+        # embedding is a MIX of both speakers, so the second-most-similar
+        # prototype is the best available guess for the second speaker
+        # (the old nearest-other-slice pick was just whoever spoke next)
+        e_norm = embs / (np.linalg.norm(embs, axis=1, keepdims=True)
+                         + 1e-8)
+        uniq = np.unique(labels)
+        protos = {int(c): e_norm[labels == c].mean(axis=0)
+                  for c in uniq}
+        for c in protos:
+            protos[c] = protos[c] / (np.linalg.norm(protos[c]) + 1e-8)
         out = []
         for s, e, p in hits:
             mid = 0.5 * (s + e)
-            # nearest two distinct slice labels around the hit
             order = np.argsort([abs(0.5 * (a + b) - mid)
                                 for a, b in slices])
-            la = int(labels[order[0]])
-            lb = next((int(labels[j]) for j in order[1:]
-                       if int(labels[j]) != la), la)
+            i0 = int(order[0])
+            la = int(labels[i0])
+            cands = [(float(protos[int(c)] @ e_norm[i0]), int(c))
+                     for c in uniq if int(c) != la]
+            if cands:
+                lb = max(cands)[1]
+            else:
+                lb = la
             out.append((s, e, la, lb, p))
         return out
     sr = au.sample_rate
