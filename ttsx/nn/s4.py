@@ -133,6 +133,16 @@ class S4(nn.Module):
         # ---- 2) depthwise SSM long conv ----
         mode = cfg.kernel_mode
         if mode == "auto":
+            # fft stays the default: the on-device A/B
+            # (eval_results/kernel_ab.json, TPU v5e) has pallas at
+            # 1.6-2.0 ms vs fft 2.4 ms vs assoc-scan 39.9 ms — but at
+            # H=4/d_modes=16, while THIS layer ties modes to width
+            # (d = C/H below). The pallas kernel's per-mode Toeplitz
+            # blocks are O((C/H)^2) work and d*CHUNK^2*4 bytes of VMEM —
+            # at the flagship refiner's mid level (C=1120+, d=280) that
+            # is ~18 MB/block and a 280-way unrolled loop; fft is
+            # O(C*T*logT) and wins from d ≈ 64 up. `pallas` remains the
+            # right explicit choice for small-mode causal SSMs.
             mode = "fft"
         if mode in ("scan", "pallas") and not cfg.causal:
             raise ValueError(f"{mode} kernel path is causal-only")
