@@ -533,9 +533,10 @@ def test_detect_overlaps_screen_path():
     hits = detect_overlaps(wav, au, slices, labels, embs, screen=screen)
     assert hits, "sliding screen missed the in-slice hot region"
     for (s, e, la, lb, p) in hits:
-        # window-sized slop: a 0.4 s window centered 0.25 s before the
-        # hot zone still overlaps it
-        assert 0.9 < s < e < 2.3
+        # peak-window emission: ±0.25 s around the argmax-prob window
+        # center, which sits within a window radius of the hot zone
+        assert 0.85 <= s < e < 2.3
+        assert (e - s) <= 0.5 + 1e-6
         assert {la, lb} == {0, 1}
         assert p == 0.9
     none = detect_overlaps(wav, au, slices, labels, embs,
@@ -731,3 +732,52 @@ def test_diarizer_subsegment_spectral_end_to_end(tmp_path):
     got = {spk: covering(0.5 * (s + e)) for s, e, spk in truth}
     assert None not in got.values()
     assert got["S0"] != got["S1"]
+
+
+def test_speech_mask_and_clip_segments():
+    """2-means log-RMS speech mask: finds the gaps a saturating VAD
+    probability misses at 12 dB SNR, and clip_segments removes the
+    non-speech (false-alarm) time from labeled segments."""
+    from ttsx.pipeline.diarizer.slicer import clip_segments, speech_mask
+    sr = AU.sample_rate
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=6 * sr).astype(np.float32) * 0.02  # noise floor
+    speech = [(0.5, 2.0), (2.6, 4.1), (4.8, 5.7)]
+    for s, e in speech:
+        tt = np.arange(int((e - s) * sr)) / sr
+        wav[int(s * sr):int(s * sr) + len(tt)] += 0.4 * np.sin(
+            2 * np.pi * 220 * tt).astype(np.float32)
+    runs = speech_mask(wav, AU)
+    assert len(runs) == 3
+    for (rs, re), (s, e) in zip(runs, speech):
+        assert abs(rs - s) < 0.1 and abs(re - e) < 0.1
+    segs, labs = clip_segments([(0.0, 2.3), (2.3, 6.0)], ["a", "b"], runs)
+    assert labs == ["a", "b", "b"]
+    for s, e in segs:  # every piece sits inside a speech run
+        assert any(rs - 1e-6 <= s and e <= re + 1e-6 for rs, re in runs)
+    # continuous speech (no silence): mask must pass-through, not bisect
+    tt = np.arange(6 * sr) / sr
+    cont = (0.3 * np.sin(2 * np.pi * 220 * tt)).astype(np.float32)
+    assert speech_mask(cont, AU) == [(0.0, 6.0)]
+
+
+def test_controller_mask_clip_removes_silence_padding(tmp_path):
+    """With mask_clip (default), output segments exclude inter-turn
+    silences even when VAD slices spanned them."""
+    wav, truth = two_speaker_wav()
+    wav_path = tmp_path / "m.wav"
+    write_wav(wav_path, wav, AU.sample_rate)
+    ctl = DiarizerController(AU, min_dur=1.0, max_dur=3.0,
+                             cluster_method="spectral", subsegment_s=1.0)
+    res = ctl.diarize_single(str(wav_path), str(tmp_path / "out"))
+    assert res
+    # truth has 0.5 s silences at 2.0-2.5, 4.5-5.0, 7.0-7.5: no hyp
+    # segment may cover a silence midpoint
+    for gap_mid in (2.25, 4.75):
+        assert not any(s <= gap_mid <= e for s, e in res["slices"]), (
+            gap_mid, res["slices"])
+    no_clip = DiarizerController(AU, min_dur=1.0, max_dur=3.0,
+                                 cluster_method="spectral",
+                                 subsegment_s=1.0, mask_clip=False)
+    res2 = no_clip.diarize_single(str(wav_path), str(tmp_path / "out2"))
+    assert res2, "mask_clip=False path broke"

@@ -44,134 +44,6 @@ from ttsx.eval.parity_common import (AUDIO, _batch_sampler,
 
 
 # ---------------------------------------------------------------------------
-# 1. speaker encoder -> EER
-# ---------------------------------------------------------------------------
-def _specaugment(m: np.ndarray, rng: np.random.Generator,
-                 f_max: int = 15, t_max: int = 35) -> np.ndarray:
-    """Per-sample freq + time masking (reference RefEncDataset trains
-    with SpecAugment freq 15 / time 35, dataset.py:52-56). Fresh masks
-    every step are the anti-memorization lever: the corpus utterances
-    are fixed arrays, so without augmentation ArcFace memorizes them and
-    held-out EER REGRESSES (formant 10.0% @3.2k -> 16.7% @12.8k)."""
-    m = m.copy()
-    B, T, M = m.shape
-    fill = m.mean(axis=(1, 2))
-    for i in range(B):
-        fw = int(rng.integers(0, f_max + 1))
-        f0 = int(rng.integers(0, max(M - fw, 1)))
-        m[i, :, f0:f0 + fw] = fill[i]
-        tw = int(rng.integers(0, t_max + 1))
-        t0 = int(rng.integers(0, max(T - tw, 1)))
-        m[i, t0:t0 + tw, :] = fill[i]
-    return m
-
-
-def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
-                  utts_eval: int = 6, frames: int = 128, steps: int = 800,
-                  batch: int = 16, seed: int = 0, specaugment: bool = True,
-                  corpus: str = "tone", eval_every: int = 0,
-                  patience: int = 6, mixup: bool = False,
-                  margin_warmup: int = 0) -> Dict:
-    """`eval_every` > 0 turns on best-EER checkpoint selection with
-    early stopping (reference train.py:163-188 keeps best_eer per epoch;
-    VERDICT r3 weak #3: without it the formant EER REGRESSES with steps
-    as ArcFace memorizes the train set): held-out EER is measured every
-    `eval_every` steps, the best parameters are kept, and training stops
-    after `patience` evals without improvement. `mixup` adds beta(0.4)
-    pair mixing (reference dataset.py:71-80); `margin_warmup` ramps the
-    ArcFace margin 0 -> 0.3 over that many steps (loss.py:5-35)."""
-    import jax
-    import jax.numpy as jnp
-    from ttsx.train.refenc_trainer import RefEncTrainer
-    from ttsx.eval.metrics import all_pairs_eer
-
-    # shared-F0 speaker groups + noise: identity is only in the learned
-    # harmonic envelope (tone) / vocal-tract scale (formant), so a
-    # random-weight encoder can NOT separate speakers (the honest
-    # contrast VERDICT r1 asked for)
-    corpus = make_corpus(corpus, n_speakers=n_speakers, audio=AUDIO,
-                         seed=seed, n_f0_groups=3, noise_db=12.0)
-    tr = corpus.features(corpus.utterances(utts_train, frames, seed=seed))
-    ev = corpus.features(corpus.utterances(utts_eval, frames,
-                                           seed=seed + 1))
-    cfg = RefEncConfig(audio=AUDIO, num_speakers=n_speakers,
-                       warmup_steps=50, total_steps=steps, eval_every=0,
-                       arcface_margin_warmup=margin_warmup)
-    trainer = RefEncTrainer(cfg)
-    rng = np.random.default_rng(seed)
-    mels = tr["mel"]
-    labels = tr["speaker_id"]
-    state = trainer.init_state(jax.random.PRNGKey(seed),
-                               jnp.asarray(mels[:batch]))
-
-    def eer_of(params):
-        embs = []
-        for i in range(0, len(ev["mel"]), batch):
-            chunk = ev["mel"][i:i + batch]
-            if len(chunk) < batch:  # keep shapes static for one compile
-                pad = batch - len(chunk)
-                chunk = np.concatenate([chunk, chunk[:pad]])
-                embs.append(np.asarray(
-                    trainer.embed(params, jnp.asarray(chunk)))[:-pad or None])
-            else:
-                embs.append(np.asarray(trainer.embed(params,
-                                                     jnp.asarray(chunk))))
-        return all_pairs_eer(np.concatenate(embs)[:len(ev["mel"])],
-                             ev["speaker_id"])
-
-    eer_random = float(eer_of(state.params))
-    t0 = time.perf_counter()
-    loss = float("nan")
-    best = {"eer": float("inf"), "step": 0, "params": None}
-    curve = []
-    stale = 0
-    for step in range(steps):
-        idx = rng.integers(0, len(mels), batch)
-        mb = mels[idx]
-        if specaugment:
-            mb = _specaugment(mb, rng)
-        if mixup:
-            idx2 = rng.integers(0, len(mels), batch)
-            mb2 = mels[idx2]
-            if specaugment:
-                mb2 = _specaugment(mb2, rng)
-            alpha = rng.beta(0.4, 0.4, size=batch).astype(np.float32)
-            state, m = trainer.train_step_mixup(
-                state, jnp.asarray(mb), jnp.asarray(mb2),
-                jnp.asarray(labels[idx]), jnp.asarray(labels[idx2]),
-                jnp.asarray(alpha))
-        else:
-            state, m = trainer.train_step(state, jnp.asarray(mb),
-                                          jnp.asarray(labels[idx]))
-        loss = float(m["loss"])
-        if eval_every and (step + 1) % eval_every == 0:
-            e = float(eer_of(state.params))
-            curve.append([step + 1, round(e, 4)])
-            if e < best["eer"]:
-                best.update(eer=e, step=step + 1,
-                            params=jax.device_get(state.params))
-                stale = 0
-            else:
-                stale += 1
-                if stale >= patience:
-                    break
-    train_s = time.perf_counter() - t0
-    eer_final = float(eer_of(state.params))
-    # the reported EER is the best-checkpoint read (what the reference
-    # trainer saves/serves); eer_final keeps the end-of-run value honest
-    eer = min(eer_final, best["eer"])
-    res = {"exp": "refenc", "eer": eer, "eer_random_weights": eer_random,
-           "final_loss": loss, "steps": steps, "train_seconds": train_s,
-           "specaugment": specaugment,
-           "n_speakers": n_speakers, "eval_utts": len(ev["mel"])}
-    if eval_every:
-        res.update(eer_final=eer_final, best_step=best["step"],
-                   eer_curve=curve, eval_every=eval_every,
-                   mixup=mixup, margin_warmup=margin_warmup)
-    return res
-
-
-# ---------------------------------------------------------------------------
 # 2. acoustic -> MCD (and mel_pred handoff for the refiner experiment)
 # ---------------------------------------------------------------------------
 def _tts_cfg(levels: int = 2) -> TTSXConfig:

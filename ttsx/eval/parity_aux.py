@@ -15,7 +15,7 @@ import numpy as np
 
 from ttsx.data.tonecorpus import ToneCorpus
 from ttsx.eval.parity import (AUDIO, _batch_sampler, _tts_cfg,
-                              acoustic_parity, refenc_parity,
+                              acoustic_parity,
                               refiner_parity)
 from ttsx.eval.parity_common import make_corpus
 
@@ -174,7 +174,7 @@ def _lazy(name, module="ttsx.eval.parity_e2e"):
 
 
 EXPERIMENTS = {
-    "refenc": refenc_parity,
+    "refenc": _lazy("refenc_parity", "ttsx.eval.parity_refenc"),
     "prosody": _lazy("prosody_parity", "ttsx.eval.parity_prosody"),
     "acoustic": acoustic_parity,
     "refiner": refiner_parity,

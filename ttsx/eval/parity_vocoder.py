@@ -22,14 +22,18 @@ from ttsx.eval.parity_common import (AUDIO, _batch_sampler, _model_batch,
 
 def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
                    steps: int, batch: int, seed: int,
-                   save_dir: Optional[str] = None):
+                   save_dir: Optional[str] = None,
+                   save_every: int = 2000):
     """Adversarial training of the real VocoderBlock; returns
     (block, states, seconds, tail-metrics).
 
     `steps` is the CUMULATIVE step target: with `save_dir`, a previous
     run's Orbax checkpoint is restored and only the remaining steps are
     trained, so quality-curve points (2k/6k/12k/24k/...) extend each
-    other instead of retraining from scratch."""
+    other instead of retraining from scratch. `save_every` checkpoints
+    mid-run so a `timeout`-killed leg resumes from its last save instead
+    of discarding every trained step (round-4 loss: a 47-min 18k leg
+    timed out 2850 s in with nothing written)."""
     import os
 
     import jax
@@ -53,10 +57,23 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
             # round boundaries; warm-start G+GST from the tracked slim
             # export (discriminators/opts re-init, so step count restarts)
             states = load_vocoder_slim(f"{save_dir}_slim.npz", states)
+    meta = {"steps": steps}
+    if "mel_scale" in feats:
+        # training-set mean scale vector: the serving-time default
+        # for scale_cond models (a text->wav caller has no target
+        # utterance to take stats from — serve.py scale_stats)
+        meta["mel_scale_mean"] = feats["mel_scale"].mean(axis=0)
+
+    def save(at_step):
+        save_checkpoint(save_dir, "vocoder_quality", states, at_step,
+                        extra={"seed": seed, "batch": batch})
+        save_vocoder_slim(f"{save_dir}_slim.npz", states,
+                          meta=dict(meta, steps=at_step))
+
     d_hist, g_hist = [], []
     parts_hist = {"stft": [], "adv": [], "fm": []}
     t0 = time.perf_counter()
-    for _ in range(steps - start):
+    for i in range(steps - start):
         mb = {k: jnp.asarray(v) for k, v in next(sampler).items()}
         states, dm = block.disc_step(states, mb)
         states, gm = block.gen_step(states, mb)
@@ -65,17 +82,13 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
         for k in parts_hist:
             if k in gm:
                 parts_hist[k].append(float(gm[k]))
+        done = start + i + 1
+        if (save_dir is not None and save_every > 0 and done < steps
+                and (done - start) % save_every == 0):
+            save(done)
     secs = time.perf_counter() - t0
     if save_dir is not None and steps > start:
-        meta = {"steps": steps}
-        if "mel_scale" in feats:
-            # training-set mean scale vector: the serving-time default
-            # for scale_cond models (a text->wav caller has no target
-            # utterance to take stats from — serve.py scale_stats)
-            meta["mel_scale_mean"] = feats["mel_scale"].mean(axis=0)
-        save_checkpoint(save_dir, "vocoder_quality", states, steps,
-                        extra={"seed": seed, "batch": batch})
-        save_vocoder_slim(f"{save_dir}_slim.npz", states, meta=meta)
+        save(steps)
     tail = {}
     if d_hist:
         tail = {"d_loss_tail_mean": float(np.mean(d_hist[-100:])),

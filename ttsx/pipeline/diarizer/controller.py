@@ -70,7 +70,8 @@ class DiarizerController:
                  cluster_method: str = "modularity",
                  overlap_screen=None,
                  cluster_merge_thresh: float = 0.75,
-                 subsegment_s: float = 0.0):
+                 subsegment_s: float = 0.0,
+                 mask_clip: bool = True):
         self.au = au or AudioConfig()
         self.embedder = embedder or SliceEmbedder(self.au)
         self.memory = memory or ReIDMemory()
@@ -95,6 +96,11 @@ class DiarizerController:
         # which caps DER at ~chance no matter how good the encoder or
         # clusterer is — label granularity must be finer than a turn.
         self.subsegment_s = subsegment_s
+        # clip final segments to the 2-means log-RMS speech mask
+        # (slicer.speech_mask): non-speech time inside a segment is pure
+        # strict-DER false alarm — 19 % of reference time on the hard
+        # stream, DER 0.51 -> 0.31 measured
+        self.mask_clip = mask_clip
 
     @classmethod
     def from_config(cls, cfg, au: Optional[AudioConfig] = None):
@@ -145,7 +151,13 @@ class DiarizerController:
             times["similarity"] = time.perf_counter() - t
 
             t = time.perf_counter()
-            embs = ReIDMemory.tcn_context(embs, starts)
+            if self.subsegment_s <= 0:
+                # causal temporal blending helps slice-granularity
+                # streams, but at window granularity it smears speaker
+                # turns into each other and collapses the eigengap
+                # estimate (measured: k=1 / DER 0.95 with it vs k=5 /
+                # DER 0.51 without on the hard stream)
+                embs = ReIDMemory.tcn_context(embs, starts)
             labels = temporal_cluster(embs, starts,
                                       method=self.cluster_method)
             labels = ReIDMemory.smooth_labels(labels, starts, embs)
@@ -201,6 +213,15 @@ class DiarizerController:
             # split padded-edge overlaps between different-speaker turns
             # (after overlap detection, which wants the raw padded slices)
             slices = trim_cross_speaker_overlaps(slices, speakers)
+            if self.mask_clip:
+                from ttsx.pipeline.diarizer.slicer import (clip_segments,
+                                                           speech_mask)
+                runs = speech_mask(wav, self.au)
+                slices, kept = clip_segments(slices,
+                                             list(range(len(slices))),
+                                             runs)
+                labels = np.asarray([int(labels[i]) for i in kept])
+                speakers = [speakers[i] for i in kept]
             if rebuild:
                 t = time.perf_counter()
                 reconstruct_audio(wav, self.au, out, job_id, slices,

@@ -40,6 +40,7 @@ def screen_stream(wav: np.ndarray, au: AudioConfig, screen,
     half = int(0.5 * win_s * sr)
     hits: List[Tuple[float, float]] = []
     probs: List[float] = []
+    mids: List[float] = []
     for (s, e) in regions:
         t = s
         while t < e:
@@ -50,16 +51,20 @@ def screen_stream(wav: np.ndarray, au: AudioConfig, screen,
                 if p > thresh:
                     hits.append((t - 0.5 * win_s, t + 0.5 * win_s))
                     probs.append(p)
+                    mids.append(t)
             t += stride_s
-    # merge touching windows
-    out: List[Tuple[float, float, float]] = []
-    for (s, e), p in zip(hits, probs):
+    # merge touching windows; carry the argmax-prob window center (peak):
+    # merged regions span whole junctions (1.6-1.9 s measured) while true
+    # overlaps are 0.15-0.5 s — the peak is the only usable localization
+    out: List[Tuple[float, float, float, float]] = []
+    for (s, e), p, m in zip(hits, probs, mids):
         if out and s <= out[-1][1] + 1e-6:
-            ps, pe, pp = out[-1]
-            out[-1] = (ps, max(pe, e), max(pp, p))
+            ps, pe, pp, pm = out[-1]
+            out[-1] = (ps, max(pe, e), max(pp, p), m if p > pp else pm)
         else:
-            out.append((s, e, p))
-    return [(round(s, 3), round(e, 3), round(p, 3)) for s, e, p in out]
+            out.append((s, e, p, m))
+    return [(round(s, 3), round(e, 3), round(p, 3), round(m, 3))
+            for s, e, p, m in out]
 
 
 def split_slices_at_overlaps(slices: List[Tuple[float, float]],
@@ -109,8 +114,7 @@ def detect_overlaps(wav: np.ndarray, au: AudioConfig,
                              thresh=screen_thresh)
         # per-label prototypes: during true overlap the covering slice's
         # embedding is a MIX of both speakers, so the second-most-similar
-        # prototype is the best available guess for the second speaker
-        # (the old nearest-other-slice pick was just whoever spoke next)
+        # prototype is the fallback guess for the second speaker
         e_norm = embs / (np.linalg.norm(embs, axis=1, keepdims=True)
                          + 1e-8)
         uniq = np.unique(labels)
@@ -118,20 +122,37 @@ def detect_overlaps(wav: np.ndarray, au: AudioConfig,
                   for c in uniq}
         for c in protos:
             protos[c] = protos[c] / (np.linalg.norm(protos[c]) + 1e-8)
+
+        def covering(t):
+            for i, (a, b) in enumerate(slices):
+                if a <= t < b:
+                    return int(labels[i])
+            d = [min(abs(t - a), abs(t - b)) for a, b in slices]
+            return int(labels[int(np.argmin(d))])
+
         out = []
-        for s, e, p in hits:
-            mid = 0.5 * (s + e)
-            order = np.argsort([abs(0.5 * (a + b) - mid)
-                                for a, b in slices])
-            i0 = int(order[0])
-            la = int(labels[i0])
-            cands = [(float(protos[int(c)] @ e_norm[i0]), int(c))
-                     for c in uniq if int(c) != la]
-            if cands:
-                lb = max(cands)[1]
-            else:
-                lb = la
-            out.append((s, e, la, lb, p))
+        for s, e, p, peak in hits:
+            # emit only ±0.25 s around the peak-probability window: true
+            # overlaps are 0.15-0.5 s while merged screen regions span
+            # 1.6-1.9 s (measured on the hard stream) — emitting the
+            # full region charges the whole span as a second speaker
+            # (+0.10 strict DER measured even with correct labels)
+            ps, pe = max(peak - 0.25, 0.0), peak + 0.25
+            # second speaker by adjacency: an overlapped onset is a turn
+            # handover, so the two speakers are the segments covering
+            # the region's ends; same-label regions fall back to the
+            # second-nearest prototype of the covering slice
+            la, lb = covering(s + 1e-3), covering(e - 1e-3)
+            if la == lb:
+                mid = 0.5 * (s + e)
+                order = np.argsort([abs(0.5 * (a + b) - mid)
+                                    for a, b in slices])
+                i0 = int(order[0])
+                la = int(labels[i0])
+                cands = [(float(protos[int(c)] @ e_norm[i0]), int(c))
+                         for c in uniq if int(c) != la]
+                lb = max(cands)[1] if cands else la
+            out.append((round(ps, 3), round(pe, 3), la, lb, p))
         return out
     sr = au.sample_rate
     flux = spectral_flux(wav, au)
