@@ -214,3 +214,47 @@ def test_generator_resblock_stack_checkpoint_compatible():
     got = g2.apply(p, mel, pros, style, emo)  # same checkpoint
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_resblock_stack_kernel_mel_rate_film():
+    """Round-4 traffic optimization: film passed at the CONDITIONING
+    rate (Tc << T) is nearest-gathered in VMEM via an exact one-hot
+    matmul; result must match the XLA chain fed host-gathered cond
+    ((t*Tc)//T convention) bit-for-bit up to float tolerance."""
+    from ttsx.models.vocoder import FiLMResidualBlock
+    from ttsx.ops.resblock_stack_kernel import film_resblock_stack_pallas
+    C, Ccond, B, T, Tc = 16, 8, 1, 1024, 64
+    dils = (1, 3, 5)
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, T, C))
+    cond = jax.random.normal(jax.random.PRNGKey(8), (B, Tc, Ccond))
+    idx = jnp.clip((jnp.arange(T) * Tc) // T, 0, Tc - 1)
+    cond_g = cond[:, idx, :]
+
+    blocks = [FiLMResidualBlock(C, d, Ccond) for d in dils]
+    params = [b.init(jax.random.PRNGKey(10 + i), x, cond_g)
+              for i, b in enumerate(blocks)]
+    params = [
+        jax.tree_util.tree_map_with_path(
+            lambda path, leaf: (jax.random.normal(
+                jax.random.PRNGKey(hash(str(path)) % 2**31), leaf.shape)
+                * 0.3 if "Dense_0" in str(path) else leaf), p)
+        for p in params]
+    ref = x
+    for b, p in zip(blocks, params):
+        ref = b.apply(p, ref, cond_g)
+
+    films, w1s, b1s, w2s, b2s = [], [], [], [], []
+    for p in params:
+        pp = p["params"]
+        films.append(cond @ pp["Dense_0"]["kernel"]
+                     + pp["Dense_0"]["bias"])     # mel rate [B, Tc, 2C]
+        w1s.append(pp["Conv1d_0"]["Conv_0"]["kernel"])
+        b1s.append(pp["Conv1d_0"]["Conv_0"]["bias"])
+        w2s.append(pp["Conv1d_1"]["Conv_0"]["kernel"])
+        b2s.append(pp["Conv1d_1"]["Conv_0"]["bias"])
+    got = film_resblock_stack_pallas(
+        x, jnp.concatenate(films, axis=-1), jnp.stack(w1s),
+        jnp.stack(b1s), jnp.stack(w2s), jnp.stack(b2s), dils,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)

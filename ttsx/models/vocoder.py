@@ -169,12 +169,11 @@ class BandTower(nn.Module):
             b1s.append(b1)
             w2s.append(w2)
             b2s.append(b2)
-        T = x.shape[1]
-        Tc = cond.shape[1]
-        film = jnp.concatenate(films, axis=-1)   # [B, Tc, 6*ch]
-        if Tc != T:  # film at mel rate; Dense commutes with the gather
-            idx = jnp.clip((jnp.arange(T) * Tc) // T, 0, Tc - 1)
-            film = film[:, idx, :]
+        # film stays at the mel/conditioning rate [B, Tc, 6*ch]: the
+        # kernel nearest-gathers rows in VMEM ((t*Tc)//T convention) —
+        # shipping a full-rate [B, T, 6*ch] film through HBM was the
+        # kernel's largest traffic term (round-4 profile)
+        film = jnp.concatenate(films, axis=-1)
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
         return film_resblock_stack_pallas(
             x, film, jnp.stack(w1s), jnp.stack(b1s), jnp.stack(w2s),
