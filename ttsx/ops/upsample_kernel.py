@@ -31,6 +31,17 @@ from jax.experimental import pallas as pl
 TILE_T = 256
 
 
+def _pick_tile(f_cout: int) -> int:
+    """Tile rows ~inverse to the output row width (constant VMEM).
+
+    Late generator stages have tiny rows (f*Cout = 32 at the last
+    stage) but very long T — a fixed 256-row tile makes hundreds of
+    sequential grid steps with trivial per-step work, so fixed per-step
+    overhead dominates (same finding as resblock_stack_kernel round 4).
+    Budget ≈1 MB for the [TILE, f*Cout] f32 output block."""
+    return int(TILE_T * max(1, min(1024 // max(f_cout, 1), 8)))
+
+
 def _make_kernel(apply_lrelu: bool):
     def kernel(xp_ref, xc_ref, xn_ref, w_prev_ref, w_cur_ref,
                w_next_ref, b_ref, out_ref):
@@ -101,16 +112,17 @@ def _upsample_impl(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     w_nxt = jnp.stack(nxt, axis=1).reshape(Cin, f * Cout)
     w_prv = jnp.stack(prv, axis=1).reshape(Cin, f * Cout)
 
-    pad_t = (-T) % TILE_T
+    tile_t = _pick_tile(f * Cout)
+    pad_t = (-T) % tile_t
     Tp = T + pad_t
     xf = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad_t), (0, 0)))
     x_prev = jnp.pad(xf[:, :-1], ((0, 0), (1, 0), (0, 0)))
     x_next = jnp.pad(xf[:, 1:], ((0, 0), (0, 1), (0, 0)))
-    tiles = Tp // TILE_T
+    tiles = Tp // tile_t
 
     b_tiled = jnp.tile(b.astype(jnp.float32), (f,))[None, :]
 
-    row = lambda: pl.BlockSpec((1, TILE_T, Cin), lambda bi, ti: (bi, ti, 0))
+    row = lambda: pl.BlockSpec((1, tile_t, Cin), lambda bi, ti: (bi, ti, 0))
     wspec = lambda: pl.BlockSpec((Cin, f * Cout), lambda bi, ti: (0, 0))
     out = pl.pallas_call(
         _make_kernel(lrelu),
@@ -118,7 +130,7 @@ def _upsample_impl(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         grid=(B, tiles),
         in_specs=[row(), row(), row(), wspec(), wspec(), wspec(),
                   pl.BlockSpec((1, f * Cout), lambda bi, ti: (0, 0))],
-        out_specs=pl.BlockSpec((1, TILE_T, f * Cout),
+        out_specs=pl.BlockSpec((1, tile_t, f * Cout),
                                lambda bi, ti: (bi, ti, 0)),
         interpret=interpret,
     )(x_prev, xf, x_next, w_prv, w_cur, w_nxt, b_tiled)
