@@ -53,9 +53,12 @@ def _pick_tile(c: int) -> int:
     sequential grid steps per band with trivial per-step work — grid
     iterations on a TensorCore are serial, so fixed per-step overhead
     dominates device time (measured round 4: the resblock portion is
-    ~21 ms of the 32.5 ms generator). Scaling rows with 128/C keeps the
-    VMEM footprint roughly constant while cutting grid steps ~4x."""
-    return int(TILE_T * max(1, min(128 // max(c, 1), 8)))
+    ~21 ms of the 32.5 ms generator). Cap at 4x (2048 rows): Mosaic pads
+    every [W, C] temporary to 128 lanes, so below C=32 a bigger tile no
+    longer trades channels for rows — tile 4096 at C=16 OOMed scoped
+    VMEM at 23.6 M vs the 16 M limit (measured; ~12 live [W, 128-lane]
+    f32 temporaries ≈ W*512B*12)."""
+    return int(TILE_T * max(1, min(128 // max(c, 1), 4)))
 
 
 def _shift_up(h, s):
