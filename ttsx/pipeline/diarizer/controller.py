@@ -274,11 +274,16 @@ class DiarizerController:
         slices, stats = dynamic_slice(wav, self.au, self.min_dur,
                                       self.max_dur)
         times["slice"] = time.perf_counter() - t
-        if self.overlap_screen is not None and slices:
+        if (self.overlap_screen is not None and slices
+                and self.subsegment_s <= 0):
             # learned resegmentation: overlapped turn onsets merge two
             # speakers into one VAD slice; split at screened overlap
             # regions BEFORE embedding so cluster inputs are
-            # single-speaker-dominant (overlap.split_slices_at_overlaps)
+            # single-speaker-dominant (overlap.split_slices_at_overlaps).
+            # With uniform sub-segmentation ON this is redundant (windows
+            # are already finer than a turn) and only fragments segment
+            # boundaries — measured round 4: screened 0.231 DER vs plain
+            # 0.179 on the hard stream with subsegment_s=1.0
             from ttsx.pipeline.diarizer.overlap import (
                 screen_stream, split_slices_at_overlaps)
             t = time.perf_counter()
