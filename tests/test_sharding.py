@@ -9,8 +9,9 @@ from ttsx.core.mesh import make_mesh, batch_sharding, shard_batch
 from ttsx.core.config import MeshConfig
 from ttsx.parallel import make_dp_mesh, shard_batch_dp, replicate, dp_train_step
 
-pytestmark = pytest.mark.skipif(jax.device_count() < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(jax.device_count() < 8,
+                                 reason="needs 8 virtual devices")]
 
 
 def test_make_mesh_shapes():

@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ttsx.core.config import (
     TTSXConfig, AcousticConfig, RefinerConfig, VocoderConfig, S4Config,
     TrainConfig)
