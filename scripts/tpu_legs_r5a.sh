@@ -47,23 +47,53 @@ run_leg() {
   echo "-- leg $name rc=$? end $(date -u +%H:%M:%S)" >> "$LOG"
 }
 
+# Counter step of the Orbax tree leg 1 leaves behind (0 if absent).
+# Guards the e2e leg: if leg 1 was killed before its 6000-step target,
+# pass the ACTUAL counter so e2e restores-and-trains-0 rather than
+# silently training the remainder inside its own budget, and label the
+# key with the true effective steps (slim warm start = 12k + counter).
+ckpt_step() {
+  python -c "
+import json, pathlib
+p = pathlib.Path('eval_results/ckpt_sc/vocoder_quality/meta.json')
+print(json.loads(p.read_text())['step'] if p.exists() else 0)" 2>/dev/null || echo 0
+}
+
 run_leg voc_sc18k 2850 python -m ttsx.eval.parity_aux \
   --exp vocoder_quality --steps 6000 \
   --save-dir eval_results/ckpt_sc \
   --override lambda_energy=1.0 --override scale_cond=true \
   --key vocoder_quality_sc18k
 
-run_leg e2e_sc18k 1800 python -m ttsx.eval.parity_aux \
-  --exp e2e --key e2e_sc18k \
-  --override lambda_energy=1.0 --override scale_cond=true \
-  --arg vocoder_save_dir='"eval_results/ckpt_sc"' \
-  --arg vocoder_steps=6000 \
-  --arg zoo_dir='"eval_results/zoo"'
+STEP=$(ckpt_step)
+if [ "$STEP" -gt 0 ]; then
+  EFF=$(( (12000 + STEP) / 1000 ))
+  run_leg e2e_sc${EFF}k 1800 python -m ttsx.eval.parity_aux \
+    --exp e2e --key e2e_sc${EFF}k \
+    --override lambda_energy=1.0 --override scale_cond=true \
+    --arg vocoder_save_dir='"eval_results/ckpt_sc"' \
+    --arg vocoder_steps=$STEP \
+    --arg zoo_dir='"eval_results/zoo"'
+else
+  echo "-- e2e leg SKIPPED (no vocoder checkpoint counter)" >> "$LOG"
+fi
 
 run_leg voc_sc24k 2850 python -m ttsx.eval.parity_aux \
   --exp vocoder_quality --steps 12000 \
   --save-dir eval_results/ckpt_sc \
   --override lambda_energy=1.0 --override scale_cond=true \
   --key vocoder_quality_sc24k
+
+# Refresh zoo + e2e headline from the best (24k-effective) checkpoint.
+STEP=$(ckpt_step)
+if [ "$STEP" -gt 6000 ]; then
+  EFF=$(( (12000 + STEP) / 1000 ))
+  run_leg e2e_sc${EFF}k 1800 python -m ttsx.eval.parity_aux \
+    --exp e2e --key e2e_sc${EFF}k \
+    --override lambda_energy=1.0 --override scale_cond=true \
+    --arg vocoder_save_dir='"eval_results/ckpt_sc"' \
+    --arg vocoder_steps=$STEP \
+    --arg zoo_dir='"eval_results/zoo"'
+fi
 
 echo "== tpu_legs_r5a done $(date -u +%H:%M:%S)" >> "$LOG"
