@@ -25,11 +25,12 @@ import jax, jax.numpy as jnp
 x = jnp.ones((256, 256), jnp.bfloat16)
 assert float((x @ x).sum()) > 0" >/dev/null 2>&1
 }
+PROBE_TRIES=${PROBE_TRIES:-8}
 n=0
 until probe_compute; do
   n=$((n + 1))
   echo "-- compute probe failed ($n) $(date -u +%H:%M:%S)" >> "$LOG"
-  [ "$n" -ge 8 ] && { echo "-- tunnel compute DOWN, aborting" >> "$LOG"; exit 1; }
+  [ "$n" -ge "$PROBE_TRIES" ] && { echo "-- tunnel compute DOWN, aborting" >> "$LOG"; exit 1; }
   sleep 180
 done
 echo "-- compute probe OK $(date -u +%H:%M:%S)" >> "$LOG"

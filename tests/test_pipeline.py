@@ -781,3 +781,44 @@ def test_controller_mask_clip_removes_silence_padding(tmp_path):
                                  subsegment_s=1.0, mask_clip=False)
     res2 = no_clip.diarize_single(str(wav_path), str(tmp_path / "out2"))
     assert res2, "mask_clip=False path broke"
+
+
+def test_diarize_batch_parallel_and_rotating_log(tmp_path):
+    """Thread-pooled batch mode (ref cli.py:204-210 multiprocessing.Pool)
+    + bounded rotating run log (ref cli.py:33-36)."""
+    wav, _ = two_speaker_wav(seconds=6.0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"job{i}.wav"
+        write_wav(p, wav, AU.sample_rate)
+        paths.append(str(p))
+    ctl = DiarizerController(AU, min_dur=1.0, max_dur=3.0)
+    res = ctl.diarize_batch(paths, str(tmp_path / "out"), workers=3)
+    assert set(res) == {"job0", "job1", "job2"}
+    for job in res:
+        assert res[job], f"{job} empty"
+        assert (tmp_path / "out" / job / "speaker_mapping.json").exists()
+    assert (tmp_path / "out" / "diarizer.log").stat().st_size > 0
+    # idempotent handler attach: re-running must not stack handlers
+    import logging
+    from ttsx.utils.logs import attach_rotating_handler
+    lg = logging.getLogger("ttsx.diarizer")
+    n0 = len(lg.handlers)
+    attach_rotating_handler(lg, tmp_path / "out" / "diarizer.log")
+    assert len(lg.handlers) == n0
+
+
+def test_rotating_log_bounds_size(tmp_path):
+    """The handler actually rotates: total on-disk log bytes stay within
+    max_bytes * (backup_count + 1)."""
+    import logging
+    from ttsx.utils.logs import attach_rotating_handler
+    lg = logging.getLogger("ttsx.test_rotate")
+    lg.propagate = False
+    attach_rotating_handler(lg, tmp_path / "r.log", max_bytes=2000,
+                            backup_count=2)
+    for i in range(500):
+        lg.info("filler line %04d %s", i, "x" * 80)
+    files = list(tmp_path.glob("r.log*"))
+    assert len(files) <= 3
+    assert sum(f.stat().st_size for f in files) <= 2000 * 3 + 200

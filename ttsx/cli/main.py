@@ -69,6 +69,11 @@ def main_diarize(argv=None):
     _apply_device(args.device)
 
     from ttsx.pipeline.diarizer import DiarizerController, ReIDMemory
+    # bounded CLI run log (hyper_diarizer/cli.py:33-36 RotatingFileHandler)
+    import logging
+    from ttsx.utils.logs import attach_rotating_handler
+    attach_rotating_handler(logging.getLogger("ttsx.diarizer"),
+                            Path(args.output_dir) / "diarizer.log")
     memory = ReIDMemory()
     if args.snapshot and Path(args.snapshot).exists():
         memory.load_snapshot(args.snapshot)

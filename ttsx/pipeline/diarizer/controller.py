@@ -17,11 +17,15 @@ Re-designs hyper_diarizer/cli.py:58-222 (DiarizerController):
 from __future__ import annotations
 
 import json
+import logging
+import threading
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger("ttsx.diarizer")
 
 from ttsx.core.config import AudioConfig
 from ttsx.pipeline.contracts import write_json_atomic
@@ -101,6 +105,10 @@ class DiarizerController:
         # strict-DER false alarm — 19 % of reference time on the hard
         # stream, DER 0.51 -> 0.31 measured
         self.mask_clip = mask_clip
+        # ReIDMemory is deliberately SHARED across files (cross-file
+        # speaker re-identification); its updates are the one
+        # thread-unsafe section when diarize_batch runs jobs in parallel
+        self._mem_lock = threading.Lock()
 
     @classmethod
     def from_config(cls, cfg, au: Optional[AudioConfig] = None):
@@ -169,7 +177,8 @@ class DiarizerController:
             t = time.perf_counter()
             cluster_embs = {int(c): embs[labels == c]
                             for c in np.unique(labels)}
-            mapping, certainty = self.memory.re_id(cluster_embs)
+            with self._mem_lock:
+                mapping, certainty = self.memory.re_id(cluster_embs)
             times["reid"] = time.perf_counter() - t
 
             # low-certainty re-slice feedback loop (cli.py:133-137)
@@ -187,7 +196,8 @@ class DiarizerController:
                                             self.cluster_merge_thresh)
                 cluster_embs = {int(c): embs[labels == c]
                                 for c in np.unique(labels)}
-                mapping, certainty = self.memory.re_id(cluster_embs)
+                with self._mem_lock:
+                    mapping, certainty = self.memory.re_id(cluster_embs)
                 times["reslice"] = time.perf_counter() - t
 
             if self.subsegment_s > 0:
@@ -254,6 +264,10 @@ class DiarizerController:
                 "n_overlaps": len(overlaps),
                 "status": "ok",
             })
+            log.info("job %s: %d slices, %d speakers, cert %.3f, "
+                     "%d overlaps, %.2fs total", job_id, len(slices),
+                     len(set(speakers)), mean_cert, len(overlaps),
+                     sum(times.values()))
             return {
                 "slices": [list(s) for s in slices],
                 "speakers": speakers,
@@ -263,6 +277,8 @@ class DiarizerController:
                 "overlap_speakers": overlap_speakers,
             }
         except Exception as e:  # cli.py:168-170 returns {} on error
+            log.warning("job %s failed: %s: %s", job_id,
+                        type(e).__name__, e)
             write_json_atomic(out / "diarization_log.json", {
                 "job_id": job_id, "status": "failed",
                 "error": f"{type(e).__name__}: {e}"})
@@ -343,12 +359,42 @@ class DiarizerController:
         return all_slices, embs, stats
 
     # ------------------------------------------------------------------
-    def diarize_batch(self, wav_paths: List[str], out_root: str) -> Dict:
-        results = {}
-        for p in wav_paths:
-            job = Path(p).stem
-            results[job] = self.diarize_single(
-                p, str(Path(out_root) / job))
+    def diarize_batch(self, wav_paths: List[str], out_root: str,
+                      workers: int = 4) -> Dict:
+        """Batch mode over multiple files, jobs running in a thread pool.
+
+        The reference parallelizes with a multiprocessing.Pool
+        (hyper_diarizer/cli.py:204-210); threads fit this runtime
+        better — wav decode is native C (wavio), the embedder's compute
+        is a jitted device program, and numpy clustering releases the
+        GIL in BLAS, so jobs overlap I/O and device time without
+        re-importing jax per process. The shared ReIDMemory (cross-file
+        re-identification — something the reference's process pool
+        silently loses) is updated under a lock; its update ORDER across
+        files is scheduling-dependent, like any parallel batch.
+        """
+        log_root = Path(out_root)
+        log_root.mkdir(parents=True, exist_ok=True)
+        from ttsx.utils.logs import attach_rotating_handler
+        attach_rotating_handler(log, log_root / "diarizer.log")
+        results: Dict = {}
+        if workers <= 1 or len(wav_paths) <= 1:
+            for p in wav_paths:
+                job = Path(p).stem
+                results[job] = self.diarize_single(
+                    p, str(Path(out_root) / job))
+            return results
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(workers, len(wav_paths))) as ex:
+            futs = {Path(p).stem: ex.submit(
+                self.diarize_single, p, str(Path(out_root) / Path(p).stem))
+                for p in wav_paths}
+        for job, f in futs.items():
+            try:
+                results[job] = f.result()
+            except Exception as e:  # per-job failure isolation
+                log.warning("batch job %s failed: %s", job, e)
+                results[job] = {"error": str(e)}
         return results
 
     # ------------------------------------------------------------------

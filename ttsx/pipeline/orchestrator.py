@@ -81,6 +81,10 @@ class ObserverPipeline:
         job_id = job_id or Path(input_wav).stem
         out_dir = Path(output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
+        # bounded run log for watcher deployments (ref main.py's
+        # RotatingFileHandler intent; ttsx.utils.logs)
+        from ttsx.utils.logs import attach_rotating_handler
+        attach_rotating_handler(log, out_dir / "pipeline.log")
         context: Dict = {
             "job_id": job_id,
             "input_wav": input_wav,

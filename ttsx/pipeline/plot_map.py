@@ -80,6 +80,11 @@ class PlotMapStage(Stage):
 
     def run(self, context: Dict) -> Dict:
         out_dir = Path(context["output_dir"])
+        # bounded stage log (ref plot_map.py:14-18 RotatingFileHandler)
+        import logging
+        from ttsx.utils.logs import attach_rotating_handler
+        attach_rotating_handler(logging.getLogger("ttsx.plot_map"),
+                                out_dir / "plot_map.log")
         arc = read_json(out_dir / "arc_classification.json", {})
         all_tags: List[Dict] = []
         for spk in context.get("speaker_ids", []):
