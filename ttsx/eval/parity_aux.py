@@ -79,48 +79,10 @@ def vocoder_gan_smoke(steps: int = 500, frames: int = 64, batch: int = 4,
 # ---------------------------------------------------------------------------
 # 5. diarizer -> DER (host-side)
 # ---------------------------------------------------------------------------
-def _train_slice_encoder(corpus: ToneCorpus, frames: int = 128,
-                         utts: int = 12, steps: int = 400,
-                         batch: int = 16, seed: int = 0,
-                         noise_db: Optional[float] = None):
-    """Train a diarizer-sized ReferenceEncoder on the corpus speakers;
-    returns (cfg, model-params) for SliceEmbedder.
-
-    `noise_db`: when the target stream is noisy (dialogue_hard), train
-    on matching additive noise at per-sample random SNR in
-    [noise_db-4, noise_db+8] dB — an encoder trained clean is OOD at
-    12 dB SNR and collapses every noisy slice to one cluster (measured:
-    hard-stream trained DER 0.95 w/ 1 hyp speaker vs 0.80 untrained)."""
-    import jax
-    import jax.numpy as jnp
-    from ttsx.core.config import RefEncConfig
-    from ttsx.train.refenc_trainer import RefEncTrainer
-
-    cfg = RefEncConfig(audio=AUDIO, speaker_dim=192, ecapa_channels=256,
-                       num_speakers=corpus.n_speakers, warmup_steps=50,
-                       total_steps=steps, eval_every=0)
-    us = corpus.utterances(utts, frames, seed=seed)
-    if noise_db is not None:
-        from dataclasses import replace as _dc_replace
-        rng_n = np.random.default_rng(seed + 17)
-        noisy = []
-        for u in us:
-            snr = 10.0 ** (rng_n.uniform(noise_db - 4, noise_db + 8) / 20.0)
-            w = u.wav + rng_n.normal(size=len(u.wav)).astype(np.float32) \
-                * (np.std(u.wav) / snr)
-            noisy.append(_dc_replace(u, wav=w.astype(np.float32)))
-        us = noisy
-    feats = corpus.features(us)
-    trainer = RefEncTrainer(cfg)
-    rng = np.random.default_rng(seed)
-    state = trainer.init_state(jax.random.PRNGKey(seed),
-                               jnp.asarray(feats["mel"][:batch]))
-    for _ in range(steps):
-        idx = rng.integers(0, len(feats["mel"]), batch)
-        state, _ = trainer.train_step(state,
-                                      jnp.asarray(feats["mel"][idx]),
-                                      jnp.asarray(feats["speaker_id"][idx]))
-    return cfg, state.params["model"]
+def _train_slice_encoder(*a, **kw):
+    # moved to parity_diar (per-file LoC gate); thin re-export
+    from ttsx.eval.parity_diar import _train_slice_encoder as f
+    return f(*a, **kw)
 
 
 def diarizer_parity(n_speakers: int = 3, n_turns: int = 12,

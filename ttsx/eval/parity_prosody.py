@@ -36,7 +36,7 @@ def prosody_parity(steps: int = 4000, frames: int = 128, batch: int = 16,
                    utts_eval: int = 8, seed: int = 0,
                    cond_dim: int = 256, n_layers: int = 4,
                    intonation: float = 0.2,
-                   corpus: str = "tone") -> Dict:
+                   corpus: str = "tone", export_slim: str = "") -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -118,6 +118,14 @@ def prosody_parity(steps: int = 4000, frames: int = 128, batch: int = 16,
             if ev_m["loss"] < best["loss"]:
                 best = dict(ev_m, step=step)
     secs = time.perf_counter() - t0
+    if export_slim:
+        # zoo export (VERDICT r4 #5): final params + the cfg deltas a
+        # loader needs to rebuild the matching ProsodyPredictor
+        from ttsx.train.slim_export import save_slim
+        save_slim(export_slim, {
+            "prosody": jax.device_get(state.params),
+            "_meta": {"cond_dim": cond_dim, "n_layers": n_layers,
+                      "steps": steps}})
 
     trained = curve[-1]
     return {"exp": "prosody", "steps": steps, "train_seconds": secs,

@@ -41,7 +41,9 @@ def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
                   batch: int = 16, seed: int = 0, specaugment: bool = True,
                   corpus: str = "tone", eval_every: int = 0,
                   patience: int = 6, mixup: bool = False,
-                  margin_warmup: int = 0) -> Dict:
+                  margin_warmup: int = 0, eval_crops: int = 1,
+                  train_frames: int = 0, loss: str = "arcface",
+                  export_slim: str = "") -> Dict:
     """`eval_every` > 0 turns on best-EER checkpoint selection with
     early stopping (reference train.py:163-188 keeps best_eer per epoch;
     VERDICT r3 weak #3: without it the formant EER REGRESSES with steps
@@ -49,7 +51,20 @@ def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
     `eval_every` steps, the best parameters are kept, and training stops
     after `patience` evals without improvement. `mixup` adds beta(0.4)
     pair mixing (reference dataset.py:71-80); `margin_warmup` ramps the
-    ArcFace margin 0 -> 0.3 over that many steps (loss.py:5-35)."""
+    ArcFace margin 0 -> 0.3 over that many steps (loss.py:5-35).
+
+    Round-5 base-formant levers (VERDICT r4 #4):
+      * `eval_crops` > 1: eval utterances are generated longer and each
+        is embedded as `eval_crops` half-overlapping `frames`-long crops
+        whose unit-norm embeddings are AVERAGED then renormalized (the
+        standard long-utterance verification protocol; reference
+        verify_eer.py scores full utterances, not single crops).
+      * `train_frames` > `frames`: train utterances are generated at
+        `train_frames` and a FRESH random `frames` window is cropped
+        every step — crop jitter on top of SpecAugment.
+      * `loss`: "arcface" | "ge2e" (RefEncConfig.loss; ref loss.py).
+      * `export_slim`: path to save the best params as a slim npz
+        (fresh-clone zoo story, VERDICT r4 #5)."""
     import jax
     import jax.numpy as jnp
     from ttsx.train.refenc_trainer import RefEncTrainer
@@ -61,18 +76,31 @@ def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
     # contrast VERDICT r1 asked for)
     corpus = make_corpus(corpus, n_speakers=n_speakers, audio=AUDIO,
                          seed=seed, n_f0_groups=3, noise_db=12.0)
-    tr = corpus.features(corpus.utterances(utts_train, frames, seed=seed))
-    ev = corpus.features(corpus.utterances(utts_eval, frames,
-                                           seed=seed + 1))
+    tf = max(train_frames, frames)
+    tr = corpus.features(corpus.utterances(utts_train, tf, seed=seed))
+    stride = max(frames // 2, 1)
+    ef = frames + (eval_crops - 1) * stride
+    ev = corpus.features(corpus.utterances(utts_eval, ef, seed=seed + 1))
     cfg = RefEncConfig(audio=AUDIO, num_speakers=n_speakers,
                        warmup_steps=50, total_steps=steps, eval_every=0,
-                       arcface_margin_warmup=margin_warmup)
+                       arcface_margin_warmup=margin_warmup, loss=loss)
     trainer = RefEncTrainer(cfg)
     rng = np.random.default_rng(seed)
     mels = tr["mel"]
     labels = tr["speaker_id"]
     state = trainer.init_state(jax.random.PRNGKey(seed),
-                               jnp.asarray(mels[:batch]))
+                               jnp.asarray(mels[:batch, :frames]))
+
+    def embed_multicrop(params, chunk):
+        """[b, ef, M] -> averaged renormalized [b, D] over eval_crops."""
+        acc = None
+        for c in range(eval_crops):
+            e = np.asarray(trainer.embed(
+                params, jnp.asarray(chunk[:, c * stride:c * stride + frames])))
+            acc = e if acc is None else acc + e
+        acc = acc / eval_crops
+        return acc / np.maximum(
+            np.linalg.norm(acc, axis=-1, keepdims=True), 1e-8)
 
     def eer_of(params):
         embs = []
@@ -81,28 +109,43 @@ def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
             if len(chunk) < batch:  # keep shapes static for one compile
                 pad = batch - len(chunk)
                 chunk = np.concatenate([chunk, chunk[:pad]])
-                embs.append(np.asarray(
-                    trainer.embed(params, jnp.asarray(chunk)))[:-pad or None])
+                embs.append(embed_multicrop(params, chunk)[:-pad or None])
             else:
-                embs.append(np.asarray(trainer.embed(params,
-                                                     jnp.asarray(chunk))))
+                embs.append(embed_multicrop(params, chunk))
         return all_pairs_eer(np.concatenate(embs)[:len(ev["mel"])],
                              ev["speaker_id"])
 
     eer_random = float(eer_of(state.params))
     t0 = time.perf_counter()
-    loss = float("nan")
+    loss_val = float("nan")
     best = {"eer": float("inf"), "step": 0, "params": None}
     curve = []
     stale = 0
     for step in range(steps):
-        idx = rng.integers(0, len(mels), batch)
+        if loss == "ge2e":
+            # GE2E needs multiple utterances per speaker in-batch
+            # (ref loss.py GE2E centroids): sample 4 speakers x b/4 utts
+            spks = rng.choice(n_speakers, size=max(batch // 4, 2),
+                              replace=False)
+            idx = np.concatenate([
+                rng.choice(np.flatnonzero(labels == s),
+                           size=batch // len(spks), replace=True)
+                for s in spks])[:batch]
+        else:
+            idx = rng.integers(0, len(mels), batch)
         mb = mels[idx]
+        if tf > frames:  # fresh crop window every step
+            offs = rng.integers(0, tf - frames + 1, len(mb))
+            mb = np.stack([m[o:o + frames] for m, o in zip(mb, offs)])
         if specaugment:
             mb = _specaugment(mb, rng)
         if mixup:
             idx2 = rng.integers(0, len(mels), batch)
             mb2 = mels[idx2]
+            if tf > frames:
+                offs = rng.integers(0, tf - frames + 1, len(mb2))
+                mb2 = np.stack([m[o:o + frames]
+                                for m, o in zip(mb2, offs)])
             if specaugment:
                 mb2 = _specaugment(mb2, rng)
             alpha = rng.beta(0.4, 0.4, size=batch).astype(np.float32)
@@ -113,7 +156,7 @@ def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
         else:
             state, m = trainer.train_step(state, jnp.asarray(mb),
                                           jnp.asarray(labels[idx]))
-        loss = float(m["loss"])
+        loss_val = float(m["loss"])
         if eval_every and (step + 1) % eval_every == 0:
             e = float(eer_of(state.params))
             curve.append([step + 1, round(e, 4)])
@@ -130,9 +173,20 @@ def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
     # the reported EER is the best-checkpoint read (what the reference
     # trainer saves/serves); eer_final keeps the end-of-run value honest
     eer = min(eer_final, best["eer"])
+    if export_slim:
+        from ttsx.train.slim_export import save_slim
+        keep = (best["params"] if best["params"] is not None
+                and best["eer"] <= eer_final else
+                jax.device_get(state.params))
+        save_slim(export_slim, {
+            "refenc": keep,
+            "_meta": {"num_speakers": n_speakers, "steps": steps,
+                      "eer": eer, "eval_crops": eval_crops}})
     res = {"exp": "refenc", "eer": eer, "eer_random_weights": eer_random,
-           "final_loss": loss, "steps": steps, "train_seconds": train_s,
-           "specaugment": specaugment,
+           "final_loss": loss_val, "steps": steps,
+           "train_seconds": train_s, "specaugment": specaugment,
+           "loss_type": loss, "eval_crops": eval_crops,
+           "train_frames": tf,
            "n_speakers": n_speakers, "eval_utts": len(ev["mel"])}
     if eval_every:
         res.update(eer_final=eer_final, best_step=best["step"],

@@ -85,6 +85,101 @@ def load_pipeline(cfg=None, zoo_dir: Optional[str] = None,
     return pipe, params
 
 
+def load_refenc(zoo_dir: Optional[str] = None, frames: int = 128):
+    """Trained speaker encoder from `refenc.npz` -> (trainer, params).
+
+    Rebuilds the RefEncConfig the export was trained with (meta
+    `num_speakers`) and restores the full train params (encoder +
+    ArcFace head), so both embedding and further fine-tuning work.
+    Returns (None, None) if the export is absent.
+    """
+    import jax.numpy as jnp
+
+    from ttsx.core.config import RefEncConfig
+    from ttsx.eval.parity_common import AUDIO
+    from ttsx.train.refenc_trainer import RefEncTrainer
+    from ttsx.train.slim_export import load_slim, load_slim_meta
+
+    path = (Path(zoo_dir) if zoo_dir else DEFAULT_ZOO) / "refenc.npz"
+    if not path.exists():
+        return None, None
+    meta = load_slim_meta(str(path))
+    cfg = RefEncConfig(audio=AUDIO,
+                       num_speakers=int(meta.get("num_speakers", 12)))
+    trainer = RefEncTrainer(cfg)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, frames, cfg.audio.n_mels)))
+    params = load_slim(str(path), {"refenc": state.params})["refenc"]
+    return trainer, params
+
+
+def load_prosody(zoo_dir: Optional[str] = None, frames: int = 128):
+    """Trained prosody predictor from `prosody.npz` -> (trainer, params).
+
+    Config deltas (cond_dim, n_layers) come from the export meta; the
+    S4 settings mirror ttsx.eval.parity_prosody (the training harness).
+    Returns (None, None) if the export is absent.
+    """
+    import jax.numpy as jnp
+
+    from ttsx.core.config import ProsodyConfig, S4Config
+    from ttsx.eval.parity_common import AUDIO
+    from ttsx.train.prosody_trainer import ProsodyTrainer
+    from ttsx.train.slim_export import load_slim, load_slim_meta
+
+    path = (Path(zoo_dir) if zoo_dir else DEFAULT_ZOO) / "prosody.npz"
+    if not path.exists():
+        return None, None
+    meta = load_slim_meta(str(path))
+    cfg = ProsodyConfig(
+        audio=AUDIO, cond_dim=int(meta.get("cond_dim", 256)),
+        n_layers=int(meta.get("n_layers", 4)), mfcc_weight=0.05,
+        s4=S4Config(heads=4, l_max=1024, causal=False, norm_groups=4,
+                    dropout=0.1))
+    trainer = ProsodyTrainer(cfg)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, frames, cfg.audio.n_mels)))
+    params = load_slim(str(path), {"prosody": state.params})["prosody"]
+    return trainer, params
+
+
+def load_diar_encoder(zoo_dir: Optional[str] = None, frames: int = 128):
+    """Trained hard-diarizer slice encoder from `diar_encoder.npz` ->
+    a ready SliceEmbedder (None if absent).
+
+    With this, `ttsx.pipeline.diarizer.offline.evaluate_dump` (or a
+    full DiarizerController run) reproduces the diarizer_hard DER from
+    a fresh clone without TPU retraining (VERDICT r4 #5).
+    """
+    import jax.numpy as jnp
+
+    from ttsx.core.config import RefEncConfig
+    from ttsx.eval.parity_common import AUDIO
+    from ttsx.pipeline.diarizer.embedding import SliceEmbedder
+    from ttsx.train.refenc_trainer import RefEncTrainer
+    from ttsx.train.slim_export import load_slim, load_slim_meta
+
+    path = ((Path(zoo_dir) if zoo_dir else DEFAULT_ZOO)
+            / "diar_encoder.npz")
+    if not path.exists():
+        return None
+    meta = load_slim_meta(str(path))
+    cfg = RefEncConfig(
+        audio=AUDIO,
+        speaker_dim=int(meta.get("speaker_dim", 192)),
+        ecapa_channels=int(meta.get("ecapa_channels", 256)),
+        num_speakers=int(meta.get("num_speakers", 6)))
+    trainer = RefEncTrainer(cfg)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, frames, cfg.audio.n_mels)))
+    params = load_slim(str(path),
+                       {"refenc": state.params["model"]})["refenc"]
+    return SliceEmbedder(AUDIO, cfg=cfg, params=params)
+
+
 def serve_from_zoo(zoo_dir: Optional[str] = None, cfg=None, **server_kw):
     """Build a ready `SynthesisServer` from the checked-in zoo.
 
