@@ -822,3 +822,34 @@ def test_rotating_log_bounds_size(tmp_path):
     files = list(tmp_path.glob("r.log*"))
     assert len(files) <= 3
     assert sum(f.stat().st_size for f in files) <= 2000 * 3 + 200
+
+
+def test_screened_overlap_emission_boundary_anchored():
+    """Screened overlap rows anchor at the cross-speaker segment
+    boundary inside each region and self-gate when a region contains no
+    handover (VERDICT r4 #6: midpoint emission cost +0.065 strict DER
+    even with oracle labels on the hard-stream dump)."""
+    from ttsx.pipeline.diarizer.overlap import detect_overlaps
+
+    au = AU
+    sr = au.sample_rate
+    wav = np.random.default_rng(0).normal(
+        size=int(8.0 * sr)).astype(np.float32) * 0.1
+    # two speakers with a handover at t=3.0; same-speaker join at 6.0
+    slices = [(0.5, 3.0), (3.0, 6.0), (6.0, 7.5)]
+    labels = np.asarray([0, 1, 1])
+    embs = np.eye(3, 8, dtype=np.float32)
+    always_on = lambda win: 1.0  # saturated screen, like the real one
+    ovs = detect_overlaps(wav, au, slices, labels, embs,
+                          screen=always_on)
+    assert ovs, "no rows emitted despite a cross-speaker boundary"
+    for s, e, la, lb, p in ovs:
+        assert la != lb
+        # every row straddles the 3.0 s handover, not window midpoints
+        assert s <= 3.0 <= e or abs(0.5 * (s + e) - 3.0) < 0.16, (s, e)
+        assert (e - s) <= 0.31
+    # single-speaker stream: saturated screen but NO handover -> no rows
+    ovs2 = detect_overlaps(wav, au, [(0.5, 3.0), (3.0, 6.0)],
+                           np.asarray([0, 0]), embs[:2],
+                           screen=always_on)
+    assert ovs2 == []

@@ -112,47 +112,31 @@ def detect_overlaps(wav: np.ndarray, au: AudioConfig,
         regions = [(max(s - 0.2, 0.0), e + 0.2) for s, e in slices]
         hits = screen_stream(wav, au, screen, regions,
                              thresh=screen_thresh)
-        # per-label prototypes: during true overlap the covering slice's
-        # embedding is a MIX of both speakers, so the second-most-similar
-        # prototype is the fallback guess for the second speaker
-        e_norm = embs / (np.linalg.norm(embs, axis=1, keepdims=True)
-                         + 1e-8)
-        uniq = np.unique(labels)
-        protos = {int(c): e_norm[labels == c].mean(axis=0)
-                  for c in uniq}
-        for c in protos:
-            protos[c] = protos[c] / (np.linalg.norm(protos[c]) + 1e-8)
-
-        def covering(t):
-            for i, (a, b) in enumerate(slices):
-                if a <= t < b:
-                    return int(labels[i])
-            d = [min(abs(t - a), abs(t - b)) for a, b in slices]
-            return int(labels[int(np.argmin(d))])
-
+        # emission is anchored at the cross-speaker SEGMENT BOUNDARY
+        # inside each screened region, not the peak-probability window:
+        # overlapped onsets are turn handovers, so the true overlap sits
+        # at the label change, while screen regions span 1.6-1.9 s.
+        # Regions containing NO handover emit nothing — a structural
+        # precision gate (the screen's saturated sigmoid gives no usable
+        # confidence ordering). Offline calibration on the checked-in
+        # hard-stream dump (VERDICT r4 #6): midpoint/peak emission cost
+        # +0.065 strict DER even with oracle labels; boundary ±0.15 s
+        # measures -0.005 (screened BEATS plain) with 6 rows emitted.
+        seq = sorted(range(len(slices)), key=lambda i: slices[i][0])
+        bounds = []
+        for i, j in zip(seq, seq[1:]):
+            if int(labels[i]) != int(labels[j]):
+                b = 0.5 * (slices[i][1] + slices[j][0])
+                bounds.append((b, int(labels[i]), int(labels[j])))
         out = []
         for s, e, p, peak in hits:
-            # emit only ±0.25 s around the peak-probability window: true
-            # overlaps are 0.15-0.5 s while merged screen regions span
-            # 1.6-1.9 s (measured on the hard stream) — emitting the
-            # full region charges the whole span as a second speaker
-            # (+0.10 strict DER measured even with correct labels)
-            ps, pe = max(peak - 0.25, 0.0), peak + 0.25
-            # second speaker by adjacency: an overlapped onset is a turn
-            # handover, so the two speakers are the segments covering
-            # the region's ends; same-label regions fall back to the
-            # second-nearest prototype of the covering slice
-            la, lb = covering(s + 1e-3), covering(e - 1e-3)
-            if la == lb:
-                mid = 0.5 * (s + e)
-                order = np.argsort([abs(0.5 * (a + b) - mid)
-                                    for a, b in slices])
-                i0 = int(order[0])
-                la = int(labels[i0])
-                cands = [(float(protos[int(c)] @ e_norm[i0]), int(c))
-                         for c in uniq if int(c) != la]
-                lb = max(cands)[1] if cands else la
-            out.append((round(ps, 3), round(pe, 3), la, lb, p))
+            cands = [c for c in bounds if s <= c[0] <= e]
+            if not cands:
+                continue
+            b, la, lb = min(cands,
+                            key=lambda c: abs(c[0] - 0.5 * (s + e)))
+            out.append((round(max(b - 0.15, 0.0), 3), round(b + 0.15, 3),
+                        la, lb, p))
         return out
     sr = au.sample_rate
     flux = spectral_flux(wav, au)
