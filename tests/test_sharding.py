@@ -73,7 +73,9 @@ def _tiny_cfg():
                               hsf_hidden=8, style_dim=8, beta_hidden=8,
                               s4=s4, sde_steps=2),
         vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
-                              disc_ch_growth=2),
+                              disc_ch_growth=2, disc_periods=(2, 3),
+                              disc_kernel_sizes=(15,),
+                              stft_sizes=(512,)),
         train=TrainConfig(warmup_steps=2, max_steps=8, lr=1e-3))
 
 
@@ -199,7 +201,8 @@ def test_generator_pallas_stack_dp_sharded_equals_single():
     from ttsx.core.config import VocoderConfig
     from jax.sharding import Mesh
     cfg = VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
-                        disc_ch_growth=2)
+                        disc_ch_growth=2, disc_periods=(2, 3),
+                        disc_kernel_sizes=(15,), stft_sizes=(512,))
     B, T = 8, 8
     ks = jax.random.split(jax.random.PRNGKey(2), 4)
     mel = jax.random.normal(ks[0], (B, T, 80))
@@ -235,7 +238,8 @@ def test_generator_band_tp_equals_single():
     from ttsx.core.config import VocoderConfig
     from jax.sharding import Mesh
     cfg = VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
-                        disc_ch_growth=2)
+                        disc_ch_growth=2, disc_periods=(2, 3),
+                        disc_kernel_sizes=(15,), stft_sizes=(512,))
     B, T = 4, 8
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 4)

