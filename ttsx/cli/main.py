@@ -65,6 +65,9 @@ def main_diarize(argv=None):
     p.add_argument("--eval", dest="eval_rttm",
                    help="reference RTTM for DER/purity")
     p.add_argument("--snapshot", help="ReID memory snapshot to load/save")
+    p.add_argument("--workers", type=int, default=4,
+                   help="thread-pool size for batch mode "
+                        "(ref cli.py:204-210 Pool processes)")
     args = p.parse_args(argv)
     _apply_device(args.device)
 
@@ -83,7 +86,8 @@ def main_diarize(argv=None):
                                  streaming=args.streaming)
         ok = bool(res)
     else:
-        res = ctl.diarize_batch(args.wavs, args.output_dir)
+        res = ctl.diarize_batch(args.wavs, args.output_dir,
+                                workers=args.workers)
         ok = any(res.values())
     if args.snapshot:
         memory.snapshot(args.snapshot)
