@@ -27,7 +27,9 @@ run_leg() {
   fi
   echo "-- leg $name start $(date -u +%H:%M:%S) budget ${budget}s" >> "$LOG"
   timeout -k 30 "$budget" "$@" >> "$LOG" 2>&1
-  echo "-- leg $name rc=$? end $(date -u +%H:%M:%S)" >> "$LOG"
+  local rc=$?
+  echo "-- leg $name rc=$rc end $(date -u +%H:%M:%S)" >> "$LOG"
+  return $rc
 }
 
 STEP=$(python -c "
@@ -41,7 +43,18 @@ if [ "$STEP" -gt 0 ]; then
     --override lambda_energy=1.0 --override scale_cond=true \
     --arg vocoder_save_dir='"eval_results/ckpt_sc"' \
     --arg vocoder_steps=$STEP \
-    --arg zoo_dir='"eval_results/zoo"'
+    --arg zoo_dir='"eval_results/zoo"' \
+    --arg stage_ckpt_dir='"eval_results/ckpt_e2e"'
+  if [ $? -eq 124 ]; then
+    # budget-killed: stage checkpoints make a resume retry cheap
+    run_leg e2e_sc${EFF}k_retry 3600 python -m ttsx.eval.parity_aux \
+      --exp e2e --key e2e_sc${EFF}k \
+      --override lambda_energy=1.0 --override scale_cond=true \
+      --arg vocoder_save_dir='"eval_results/ckpt_sc"' \
+      --arg vocoder_steps=$STEP \
+      --arg zoo_dir='"eval_results/zoo"' \
+      --arg stage_ckpt_dir='"eval_results/ckpt_e2e"'
+  fi
 else
   echo "-- e2e retake SKIPPED (no vocoder checkpoint)" >> "$LOG"
 fi

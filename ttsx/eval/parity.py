@@ -79,7 +79,8 @@ def acoustic_parity(n_speakers: int = 8, utts_train: int = 24,
                     utts_eval: int = 8, frames: int = 128,
                     steps: int = 4000, batch: int = 16, seed: int = 0,
                     return_states: bool = False,
-                    corpus: str = "tone") -> Dict:
+                    corpus: str = "tone",
+                    save_dir: Optional[str] = None) -> Dict:
     import jax
     import jax.numpy as jnp
     from ttsx.train.blocks import AcousticBlock
@@ -111,12 +112,28 @@ def acoustic_parity(n_speakers: int = 8, utts_train: int = 24,
         return float(np.mean(mcds)), preds
 
     mcd_random, _ = eval_mcd(state.params, ev)
+    # resumable training (same contract as _train_vocoder): an e2e leg
+    # killed by its wall-clock budget keeps the acoustic's progress
+    start = 0
+    if save_dir is not None:
+        from ttsx.train.checkpoint import restore_checkpoint
+        got = restore_checkpoint(save_dir, "acoustic", state)
+        if got is not None:
+            state, start, _ = got
+            start = min(int(start), steps)
     t0 = time.perf_counter()
     loss = float("nan")
-    for step in range(steps):
+    for step in range(steps - start):
         mb = {k: jnp.asarray(v) for k, v in next(sampler).items()}
         state, out = block.train_step(state, mb)
         loss = float(out["metrics"]["loss"])
+        done = start + step + 1
+        if save_dir is not None and done < steps and done % 1000 == 0:
+            from ttsx.train.checkpoint import save_checkpoint
+            save_checkpoint(save_dir, "acoustic", state, done)
+    if save_dir is not None and steps > start:
+        from ttsx.train.checkpoint import save_checkpoint
+        save_checkpoint(save_dir, "acoustic", state, steps)
     train_s = time.perf_counter() - t0
     mcd, _ = eval_mcd(state.params, ev)
     res = {"exp": "acoustic", "mcd_db": mcd,

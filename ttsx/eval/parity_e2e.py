@@ -63,20 +63,26 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
                vocoder_save_dir: Optional[str] = None,
                vocoder_overrides: Optional[Dict] = None,
                zoo_dir: Optional[str] = None,
-               corpus: str = "tone") -> Dict:
+               corpus: str = "tone",
+               stage_ckpt_dir: Optional[str] = None) -> Dict:
     """Text -> mel0 -> mel_ref -> waveform with every stage trained; the
     full-chain quality number (held-out utterances).
 
     With `zoo_dir`, the trained acoustic/refiner/vocoder parameters are
     exported as git-trackable slim npz files (ttsx.zoo loads them back
-    into a TTSPipeline)."""
+    into a TTSPipeline). `stage_ckpt_dir` makes the acoustic/refiner
+    training legs resumable (the vocoder already is via
+    `vocoder_save_dir`) — a wall-clock-killed e2e leg no longer loses
+    its ~30 min of stage training (round-5: two 1800 s e2e legs died
+    exactly this way)."""
     import jax
     import jax.numpy as jnp
     from ttsx.train.blocks import RefinerBlock
 
     corpus_kind = corpus
     base = acoustic_parity(steps=acoustic_steps, batch=16, frames=frames,
-                           seed=seed, return_states=True, corpus=corpus)
+                           seed=seed, return_states=True, corpus=corpus,
+                           save_dir=stage_ckpt_dir)
     a_state, a_block = base["_state"], base["_block"]
     corpus, tr, ev = base["_data"]
     cfg: TTSXConfig = base["_cfg"]
@@ -92,12 +98,27 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
     tr_model = _model_batch(tr_cut)
     first = {k: jnp.asarray(v[:batch]) for k, v in tr_model.items()}
     r_state = r_block.init_state(jax.random.PRNGKey(seed), first)
-    for _ in range(refiner_steps):
+    r_start = 0
+    if stage_ckpt_dir is not None:
+        from ttsx.train.checkpoint import (restore_checkpoint,
+                                           save_checkpoint)
+        got = restore_checkpoint(stage_ckpt_dir, "refiner_e2e", r_state)
+        if got is not None:
+            r_state, r_start, _ = got
+            r_start = min(int(r_start), refiner_steps)
+    for it in range(refiner_steps - r_start):
         idx = rng.integers(0, len(tr_pred), batch)
         mb = {k: jnp.asarray(v[idx]) for k, v in tr_model.items()}
         r_state, _ = r_block.train_step(
             r_state, mb, jnp.asarray(tr_pred[idx]),
             jnp.asarray(0.3, jnp.float32), jnp.asarray(0.9, jnp.float32))
+        done = r_start + it + 1
+        if (stage_ckpt_dir is not None and done < refiner_steps
+                and done % 800 == 0):
+            save_checkpoint(stage_ckpt_dir, "refiner_e2e", r_state, done)
+    if stage_ckpt_dir is not None and refiner_steps > r_start:
+        save_checkpoint(stage_ckpt_dir, "refiner_e2e", r_state,
+                        refiner_steps)
     ev_model = _model_batch(ev_cut)
     mel_ref = _refine(r_block, r_state, ev_model, ev_pred, batch,
                       use_sde=False, seed=seed)
