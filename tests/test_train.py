@@ -212,3 +212,23 @@ def test_dynamic_gan_ratio():
     assert tr._dynamic_d_steps() == 1
     tr.state.d_loss_ema, tr.state.g_loss_ema = 1.0, 1.0
     assert tr._dynamic_d_steps() == CFG.train.gan_d_steps
+
+
+def test_acoustic_parity_resume(tmp_path):
+    """acoustic_parity(save_dir=...) resumes from its Orbax checkpoint
+    instead of retraining (the e2e-leg budget-kill protection)."""
+    from ttsx.eval.parity import acoustic_parity
+
+    d = str(tmp_path / "ck")
+    acoustic_parity(n_speakers=4, utts_train=4, utts_eval=4, frames=32,
+                    steps=3, batch=4, save_dir=d)
+    import json, pathlib
+    meta = json.loads(
+        (pathlib.Path(d) / "acoustic/meta.json").read_text())
+    assert meta["step"] == 3
+    r = acoustic_parity(n_speakers=4, utts_train=4, utts_eval=4,
+                        frames=32, steps=5, batch=4, save_dir=d)
+    meta = json.loads(
+        (pathlib.Path(d) / "acoustic/meta.json").read_text())
+    assert meta["step"] == 5
+    assert np.isfinite(r["mcd_db"])
