@@ -277,11 +277,13 @@ class DiarizerController:
                 "overlap_speakers": overlap_speakers,
             }
         except Exception as e:  # cli.py:168-170 returns {} on error
-            log.warning("job %s failed: %s: %s", job_id,
-                        type(e).__name__, e)
+            import traceback
+            log.warning("job %s failed: %s: %s\n%s", job_id,
+                        type(e).__name__, e, traceback.format_exc())
             write_json_atomic(out / "diarization_log.json", {
                 "job_id": job_id, "status": "failed",
-                "error": f"{type(e).__name__}: {e}"})
+                "error": f"{type(e).__name__}: {e}",
+                "traceback": traceback.format_exc()})
             return {}
 
     # ------------------------------------------------------------------

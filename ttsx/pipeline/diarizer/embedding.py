@@ -44,20 +44,31 @@ class SliceEmbedder:
         self._params = params
         self._model = None
         self._seed = seed
+        # parallel diarize_batch shares one embedder across job threads;
+        # lazy init must be atomic (a half-built state where _model is
+        # set but _params is still None made concurrent extract() apply
+        # with params=None — measured flaky in the batch test)
+        import threading
+        self._init_lock = threading.Lock()
 
     def _ensure_model(self, mel_dim: int):
-        if self._model is not None:
+        if self._model is not None and self._params is not None:
             return
-        import jax
-        from ttsx.models.reference_encoder import ReferenceEncoder
-        self._model = ReferenceEncoder(self.cfg)
-        if self._params is None:
-            # deterministic random init: still a usable (if untrained)
-            # projection for clustering; production loads a checkpoint
-            import jax.numpy as jnp
-            dummy = jnp.zeros((1, self.max_frames, mel_dim))
-            self._params = self._model.init(
-                jax.random.PRNGKey(self._seed), dummy)
+        with self._init_lock:
+            if self._model is not None and self._params is not None:
+                return
+            import jax
+            from ttsx.models.reference_encoder import ReferenceEncoder
+            model = ReferenceEncoder(self.cfg)
+            if self._params is None:
+                # deterministic random init: still a usable (if
+                # untrained) projection for clustering; production
+                # loads a checkpoint
+                import jax.numpy as jnp
+                dummy = jnp.zeros((1, self.max_frames, mel_dim))
+                self._params = model.init(
+                    jax.random.PRNGKey(self._seed), dummy)
+            self._model = model
 
     def extract(self, wav: np.ndarray, slices: List[Tuple[float, float]]
                 ) -> np.ndarray:

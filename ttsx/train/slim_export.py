@@ -34,13 +34,23 @@ def save_slim(path: str, trees: Dict[str, Any]) -> None:
     float32 leaves with >= _F16_MIN_SIZE elements are stored float16;
     everything else keeps its dtype. Keys are ``<name>|<keystr>``.
     """
+    import os
+
     out: Dict[str, np.ndarray] = {}
     for name, tree in trees.items():
         for key, leaf in _flatten(tree).items():
             if leaf.dtype == np.float32 and leaf.size >= _F16_MIN_SIZE:
                 leaf = leaf.astype(np.float16)
             out[f"{name}|{key}"] = leaf
-    np.savez_compressed(path, **out)
+    # atomic replace: zoo exports are re-written by live training legs
+    # while tests/serving may be reading them (an in-place savez gave a
+    # reader a truncated zip -> EOFError, observed round 5)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    np.savez_compressed(tmp, **out)
+    # savez appends .npz to paths without the suffix
+    if not tmp.endswith(".npz") and os.path.exists(f"{tmp}.npz"):
+        tmp = f"{tmp}.npz"
+    os.replace(tmp, path)
 
 
 def load_slim(path: str, templates: Dict[str, Any],
