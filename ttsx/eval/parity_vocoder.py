@@ -59,7 +59,10 @@ def _train_vocoder(cfg: TTSXConfig, feats: Dict[str, np.ndarray],
             states, start, extra = got
             base_steps = int(extra.get("base_steps", 0))
             start = min(int(start), steps)
-        elif os.path.exists(f"{save_dir}_slim.npz") and steps > 0:
+        elif os.path.exists(f"{save_dir}_slim.npz"):
+            # NB: also taken at steps=0 — "restore and train nothing",
+            # the eval-only read of a tracked slim (the random-weights
+            # baseline never passes save_dir, so no conflict)
             # the full Orbax tree is gitignored and dies with the clone at
             # round boundaries; warm-start G+GST from the tracked slim
             # export (discriminators/opts re-init, so step count restarts)
