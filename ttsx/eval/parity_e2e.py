@@ -194,6 +194,7 @@ def e2e_parity(acoustic_steps: int = 4000, refiner_steps: int = 2400,
             "eval_utts": int(n),
             "steps": {"acoustic": acoustic_steps,
                       "refiner": refiner_steps,
-                      "vocoder": vocoder_steps},
+                      "vocoder": int(voc.get("effective_steps",
+                                             vocoder_steps))},
             "vocoder": {k: v for k, v in voc.items()
                         if not k.startswith("_")}}
