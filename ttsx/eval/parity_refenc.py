@@ -76,11 +76,20 @@ def refenc_parity(n_speakers: int = 12, utts_train: int = 16,
     # contrast VERDICT r1 asked for)
     corpus = make_corpus(corpus, n_speakers=n_speakers, audio=AUDIO,
                          seed=seed, n_f0_groups=3, noise_db=12.0)
+    def features_chunked(us, chunk=256):
+        # one jitted features() over utts_train*n_speakers utterances
+        # OOMs HBM at data-scale legs (f0's FFT temporaries scale with
+        # batch x frames: 1536 x 320 frames blew a v5e) — chunk host-side
+        outs = [corpus.features(us[i:i + chunk])
+                for i in range(0, len(us), chunk)]
+        return {k: np.concatenate([o[k] for o in outs])
+                for k in outs[0]}
+
     tf = max(train_frames, frames)
-    tr = corpus.features(corpus.utterances(utts_train, tf, seed=seed))
+    tr = features_chunked(corpus.utterances(utts_train, tf, seed=seed))
     stride = max(frames // 2, 1)
     ef = frames + (eval_crops - 1) * stride
-    ev = corpus.features(corpus.utterances(utts_eval, ef, seed=seed + 1))
+    ev = features_chunked(corpus.utterances(utts_eval, ef, seed=seed + 1))
     cfg = RefEncConfig(audio=AUDIO, num_speakers=n_speakers,
                        warmup_steps=50, total_steps=steps, eval_every=0,
                        arcface_margin_warmup=margin_warmup, loss=loss)
