@@ -154,6 +154,10 @@ def _mfu_breakdown(programs, runs: int = 20) -> dict:
         except Exception as e:  # cost model unavailable on this backend
             print(f"[bench] cost_analysis({name}) failed: {e}",
                   file=sys.stderr)
+        # drain the dispatch queue before timing: a backlogged tunnel
+        # queue inflated gst_gen's amortized read 22.7 -> 58 ms in the
+        # round-5 capture (the RTF and gen_profile numbers disagreed)
+        jax.block_until_ready(fn(*args))
         # amortized device time: N async dispatches, one sync
         t0 = time.perf_counter()
         r = None
